@@ -1,0 +1,312 @@
+"""Fused flash attention for TPU (Pallas) with segment ids and causal masking.
+
+This replaces the reference's flash-attn / xformers CUDA kernels
+(Flash-VStream-LLaVA/flash_vstream/train/llama_flash_attn_monkey_patch.py:18-117)
+and the varlen `cu_seqlens` attention used by the dual-resolution Qwen2-VL ViT
+batch (Flash-VStream-Qwen/models/vstream_qwen2vl_model.py:419-425). Varlen is
+expressed TPU-natively as *segment ids* (equal id => may attend), which maps
+to a fixed-shape mask computed per tile instead of ragged sequence handling.
+
+Design (standard TPU flash-attention schedule):
+- grid (batch, q_heads, q_blocks, kv_blocks); the kv dimension is innermost,
+  so VMEM scratch (running max / denominator / output accumulator) carries
+  across kv iterations.
+- online softmax in f32; inputs may be bf16.
+- GQA folded into the k/v index_map (kv head = q head // group), so grouped
+  KV is never materialized per-q-head in HBM.
+- backward: custom_vjp that recomputes attention with the XLA reference and
+  differentiates it (forward stays fused; backward correctness is delegated
+  to XLA). Good enough for LoRA/finetune-scale training; a fused bwd kernel
+  is a later optimization.
+
+On non-TPU backends `flash_attention` falls back to the XLA reference so the
+whole stack runs (and is tested) on the CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (also the CPU fallback and the backward-pass implementation)
+# ---------------------------------------------------------------------------
+
+def xla_attention(
+    q: jnp.ndarray,            # [B, Hq, Sq, D]
+    k: jnp.ndarray,            # [B, Hkv, Skv, D]
+    v: jnp.ndarray,            # [B, Hkv, Skv, D]
+    *,
+    causal: bool = False,
+    q_segment_ids: Optional[jnp.ndarray] = None,   # [B, Sq] int32
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # [B, Skv] int32
+    q_offset: int | jnp.ndarray = 0,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    B, Hq, Sq, D = q.shape
+    Hkv = k.shape[1]
+    assert Hq % Hkv == 0
+    g = Hq // Hkv
+    if g > 1:
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    mask = jnp.ones((B, 1, Sq, k.shape[2]), bool)
+    if causal:
+        qi = jnp.arange(Sq)[:, None] + q_offset
+        ki = jnp.arange(k.shape[2])[None, :]
+        mask = mask & (qi >= ki)[None, None]
+    if q_segment_ids is not None:
+        seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+        seg = seg & (kv_segment_ids[:, None, :] >= 0)
+        mask = mask & seg[:, None]
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    # rows with no visible keys: zero them (softmax of all-masked is uniform)
+    any_visible = jnp.any(mask, axis=-1, keepdims=True)
+    p = jnp.where(any_visible, p, 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref,
+                  *, scale: float, causal: bool, use_segments: bool,
+                  block_q: int, block_kv: int, num_kv_blocks: int):
+    j = pl.program_id(3)
+    qi = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Causal: skip kv blocks strictly above the diagonal (no q can see them).
+    if causal:
+        should_run = (qi + 1) * block_q - 1 >= j * block_kv
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [bkv, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [bq, bkv]
+
+        mask = None
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            kv_pos = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
+            mask = q_pos >= kv_pos
+        if use_segments:
+            qseg = q_seg_ref[0]                       # [bq]
+            kseg = kv_seg_ref[0]                      # [bkv]
+            seg_mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] >= 0)
+            mask = seg_mask if mask is None else (mask & seg_mask)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[:, 0]                          # [bq]
+        l_prev = l_ref[:, 0]
+        m_cur = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_ref[:] / safe_l[:, None] *
+                       (l > 0)[:, None]).astype(o_ref.dtype)
+
+
+def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
+                  causal: bool, scale: float,
+                  block_q: int = 512, block_kv: int = 512):
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    g = Hq // Hkv
+    block_q = min(block_q, Sq)
+    block_kv = min(block_kv, Skv)
+    assert Sq % block_q == 0 and Skv % block_kv == 0, (
+        "sequence lengths must be padded to the block size "
+        f"(Sq={Sq}, Skv={Skv}, block_q={block_q}, block_kv={block_kv})")
+    nq, nkv = Sq // block_q, Skv // block_kv
+    use_segments = q_segment_ids is not None
+    if not use_segments:
+        # dummy 1-wide segment inputs so the kernel signature is static
+        q_segment_ids = jnp.zeros((B, Sq), jnp.int32)
+        kv_segment_ids = jnp.zeros((B, Skv), jnp.int32)
+
+    grid = (B, Hq, nq, nkv)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, use_segments=use_segments,
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=nkv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b, h, i, j: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv), lambda b, h, i, j: (b, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, i, j, g=g: (b, h // g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, i, j, g=g: (b, h // g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(q_segment_ids, kv_segment_ids, q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (fused fwd, XLA-recompute bwd)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_core(q, k, v, q_segment_ids, kv_segment_ids,
+                          causal, scale):
+    return _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids,
+                         causal=causal, scale=scale)
+
+
+def _fwd(q, k, v, q_seg, kv_seg, causal, scale):
+    out = _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale)
+    return out, (q, k, v, q_seg, kv_seg)
+
+
+def _bwd(causal, scale, res, g):
+    q, k, v, q_seg, kv_seg = res
+    def ref(q, k, v):
+        return xla_attention(q, k, v, causal=causal, q_segment_ids=q_seg,
+                             kv_segment_ids=kv_seg, scale=scale)
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention_core.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,            # [B, Hq, Sq, D]
+    k: jnp.ndarray,            # [B, Hkv, Skv, D]
+    v: jnp.ndarray,            # [B, Hkv, Skv, D]
+    *,
+    causal: bool = False,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    q_offset: int | jnp.ndarray = 0,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. Segment id -1 marks padding (never attended).
+
+    Uses the Pallas kernel on TPU when shapes are tile-aligned; otherwise the
+    XLA reference (which is also the CPU path and the autodiff backward).
+    `q_offset` shifts query positions for causal decode (q at positions
+    [q_offset, q_offset+Sq) attending to a KV prefix) and always takes the
+    XLA path (decode steps are matvecs; a fused kernel buys nothing).
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    on_tpu = jax.default_backend() == "tpu"
+    static_offset = isinstance(q_offset, int) and q_offset == 0
+    # The fused kernel pays off for long prefills/encodes; decode steps
+    # (Sq ~ 1) are bandwidth-bound matvecs where XLA is already optimal.
+    worth_fusing = q.shape[2] >= 128
+    if force_xla or not on_tpu or not static_offset or not worth_fusing:
+        return xla_attention(q, k, v, causal=causal,
+                             q_segment_ids=q_segment_ids,
+                             kv_segment_ids=kv_segment_ids,
+                             q_offset=q_offset, scale=scale)
+
+    B, Hq, Sq, D = q.shape
+    Skv = k.shape[2]
+    block_q, block_kv = 512, 512
+
+    def pad_axis(x, axis, mult, value=0.0):
+        pad = (-x.shape[axis]) % mult
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths, constant_values=value)
+
+    # Pad head dim to the 128-lane tile (CLIP/Qwen ViT head dims are 64/80):
+    # zero-padded q/k leave scores unchanged; padded v channels are sliced off.
+    qp = pad_axis(pad_axis(q, 3, 128), 2, block_q)
+    kp = pad_axis(pad_axis(k, 3, 128), 2, block_kv)
+    vp = pad_axis(pad_axis(v, 3, 128), 2, block_kv)
+    if q_segment_ids is not None:
+        q_seg = pad_axis(q_segment_ids, 1, block_q, -1)
+        kv_seg = pad_axis(kv_segment_ids, 1, block_kv, -1)
+    elif kp.shape[2] != Skv and not causal:
+        # non-causal padding needs masking; synthesize segments
+        q_seg = pad_axis(jnp.zeros((B, Sq), jnp.int32), 1, block_q, -1)
+        kv_seg = pad_axis(jnp.zeros((B, Skv), jnp.int32), 1, block_kv, -1)
+    else:
+        # causal: padded kv positions sit beyond every real q position, so the
+        # causal mask already excludes them.
+        q_seg = kv_seg = None
+    out = _flash_attention_core(qp, kp, vp, q_seg, kv_seg, causal, scale)
+    return out[:, :, :Sq, :D]
+
+
+def segment_ids_from_lengths(lengths: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Convert per-sequence lengths to a [total] segment-id vector.
+
+    TPU-native replacement for the reference's `cu_seqlens` varlen format
+    (vstream_qwen2vl_model.py:419-422): sequence i occupies segment id i;
+    positions beyond sum(lengths) get id -1 (padding).
+    """
+    ends = jnp.cumsum(lengths)
+    pos = jnp.arange(total)
+    seg = jnp.sum(pos[:, None] >= ends[None, :], axis=1)
+    return jnp.where(pos < ends[-1], seg, -1).astype(jnp.int32)
