@@ -1,0 +1,233 @@
+"""Shared transformer layers: norms, RoPE (1D / M-RoPE / 2D vision), MLPs,
+attention with KV cache.
+
+Functional style: parameters are plain nested-dict pytrees; every layer is a
+pure function, so the whole stack jits/pjits and layer parameters can be
+stacked and scanned (TPU-idiomatic: one compiled block body instead of L
+unrolled copies).
+
+Weight conventions follow HF checkpoints (rotate_half RoPE, separate
+q/k/v/o projections) so HF safetensors convert 1:1 (weights/convert.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.flash_attention import flash_attention
+
+
+# ---------------------------------------------------------------------------
+# Norms / activations
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": jax.nn.gelu,
+    "quick_gelu": quick_gelu,
+    "silu": jax.nn.silu,
+}
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    out = jnp.dot(x, w.astype(x.dtype))
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+def rope_angles(positions: jnp.ndarray, head_dim: int,
+                theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for HF-style rotate_half RoPE.
+
+    positions: [..., S] -> cos/sin [..., S, head_dim] (the half-dim freqs
+    duplicated, matching HF's `emb = cat(freqs, freqs)`).
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., S, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def mrope_angles(positions: jnp.ndarray, head_dim: int,
+                 sections: Tuple[int, int, int],
+                 theta: float = 1000000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """M-RoPE (Qwen2-VL): positions [3, B, S] (t/h/w axes), sections split the
+    half-dim frequency bands among the axes. Returns cos/sin [B, S, head_dim].
+
+    Matches HF's apply_multimodal_rotary_pos_emb: freq band i takes its angle
+    from axis sections_map[i].
+    """
+    assert sum(sections) == head_dim // 2
+    cos3, sin3 = rope_angles(positions, head_dim, theta)   # [3, B, S, head_dim]
+    # build the per-frequency axis selector over the duplicated layout
+    sel = jnp.concatenate([
+        jnp.full((s,), i, jnp.int32) for i, s in enumerate(sections)
+    ])
+    sel = jnp.concatenate([sel, sel])                       # [head_dim]
+    cos = jnp.take_along_axis(
+        jnp.moveaxis(cos3, 0, -1), sel[None, None, :, None], axis=-1)[..., 0]
+    sin = jnp.take_along_axis(
+        jnp.moveaxis(sin3, 0, -1), sel[None, None, :, None], axis=-1)[..., 0]
+    return cos, sin
+
+
+def vision_rope_angles(hpos: jnp.ndarray, wpos: jnp.ndarray,
+                       head_dim: int, theta: float = 10000.0
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Qwen2-VL vision 2D rotary: half the (half-dim) bands rotate by the
+    h position, the other half by w. hpos/wpos: [S] -> cos/sin [S, head_dim].
+
+    Matches VisionRotaryEmbedding(head_dim//2) + stack([h, w]).flatten(1)
+    (vstream_qwen2vl_model.py:359-386).
+    """
+    quarter = head_dim // 4
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, quarter, dtype=jnp.float32) / quarter))
+    hf = hpos.astype(jnp.float32)[:, None] * inv_freq       # [S, quarter]
+    wf = wpos.astype(jnp.float32)[:, None] * inv_freq
+    freqs = jnp.concatenate([hf, wf], axis=-1)              # [S, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)          # [S, head_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, S, D]; cos/sin: [B, S, D] or [S, D]."""
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, None].astype(jnp.float32)
+    sin = sin[:, None].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * cos + rotate_half(xf) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    """Stacked per-layer KV cache. The decoder's scan-over-layers threads the
+    per-layer [B, Hkv, Smax, D] slices through the scan body; `length` is the
+    filled prefix (shared across layers)."""
+    k: jnp.ndarray        # [L, B, Hkv, Smax, D]
+    v: jnp.ndarray        # [L, B, Hkv, Smax, D]
+    length: jnp.ndarray   # [] int32: filled prefix length
+
+    @classmethod
+    def create(cls, num_layers: int, batch: int, num_kv_heads: int,
+               max_len: int, head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+    def advance(self, n) -> "KVCache":
+        return self._replace(length=self.length + n)
+
+
+# ---------------------------------------------------------------------------
+# Attention / MLP blocks
+# ---------------------------------------------------------------------------
+
+def init_dense(key, din, dout, bias=False, dtype=jnp.float32, scale=None):
+    if scale is None:
+        scale = 1.0 / math.sqrt(din)
+    p = {"w": jax.random.normal(key, (din, dout), dtype) * scale}
+    if bias:
+        p["b"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def mha(
+    params: dict,
+    x: jnp.ndarray,                      # [B, S, D]
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    causal: bool = False,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [B,Hkv,Smax,D]
+    cache_len: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Multi-head attention with optional GQA, RoPE and per-layer KV cache.
+
+    With a cache: S > 1 is a prefill (cache assumed to start at cache_len=0;
+    attention runs over the fresh k/v through the fused Pallas path); S == 1
+    is a decode step (one query against the cache prefix, XLA matvec path).
+    Returns the updated per-layer cache slice.
+    """
+    B, S, D = x.shape
+    q = dense(x, params["wq"]["w"], params["wq"].get("b"))
+    k = dense(x, params["wk"]["w"], params["wk"].get("b"))
+    v = dense(x, params["wv"]["w"], params["wv"].get("b"))
+    q = q.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    if rope is not None:
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
+
+    new_cache = None
+    if kv_cache is not None:
+        kc, vc = kv_cache
+        start = (0, 0, cache_len, 0)
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), start)
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), start)
+        new_cache = (kc, vc)
+        if S > 1:
+            out = flash_attention(q, k, v, causal=True,
+                                  q_segment_ids=q_segment_ids,
+                                  kv_segment_ids=kv_segment_ids)
+        else:
+            out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len)
+    else:
+        out = flash_attention(q, k, v, causal=causal,
+                              q_segment_ids=q_segment_ids,
+                              kv_segment_ids=kv_segment_ids)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, num_heads * head_dim)
+    out = dense(out, params["wo"]["w"], params["wo"].get("b"))
+    return out, new_cache
+
+
+def swiglu_mlp(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    gate = dense(x, params["gate"]["w"])
+    up = dense(x, params["up"]["w"])
+    return dense(jax.nn.silu(gate) * up, params["down"]["w"])
+
+
+def gelu_mlp(params: dict, x: jnp.ndarray, act: str = "quick_gelu") -> jnp.ndarray:
+    h = ACTIVATIONS[act](dense(x, params["fc1"]["w"], params["fc1"].get("b")))
+    return dense(h, params["fc2"]["w"], params["fc2"].get("b"))

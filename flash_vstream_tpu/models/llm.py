@@ -1,0 +1,160 @@
+"""Decoder-only transformer covering Llama (Vicuna-7B) and Qwen2(-VL).
+
+Replaces the reference's HF LlamaForCausalLM / Qwen2VLModel decoders
+(Flash-VStream-LLaVA/flash_vstream/model/language_model/vstream_llama.py,
+Flash-VStream-Qwen/models/vstream_qwen2vl_model.py:543-571) with a single
+functional JAX implementation:
+
+- parameters are stacked per-layer pytrees scanned with lax.scan (one compiled
+  block body; fast compiles at 28-32 layers);
+- M-RoPE (3-axis positions with frequency sections) generalizes 1D RoPE —
+  Llama passes positions broadcast over the three axes with sections=None;
+- KV cache decode threads per-layer cache slices through the scan;
+- optional remat (gradient checkpointing) per layer for training.
+
+Weight layout matches HF checkpoints after conversion (weights/convert.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LLMConfig
+from .layers import (
+    KVCache,
+    dense,
+    init_dense,
+    mha,
+    mrope_angles,
+    rms_norm,
+    rope_angles,
+    swiglu_mlp,
+)
+
+
+def init_llm_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> dict:
+    """Random-init parameters with HF-compatible structure, stacked over layers."""
+    keys = jax.random.split(key, 8)
+    D, I, Dh = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    Hq, Hkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+
+    def stack_init(k, din, dout, bias):
+        ks = jax.random.split(k, L)
+        ps = [init_dense(ki, din, dout, bias=bias, dtype=dtype) for ki in ks]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+
+    params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, D), dtype) * 0.02,
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "attn": {
+                "wq": stack_init(keys[1], D, Hq * Dh, cfg.attention_bias),
+                "wk": stack_init(keys[2], D, Hkv * Dh, cfg.attention_bias),
+                "wv": stack_init(keys[3], D, Hkv * Dh, cfg.attention_bias),
+                "wo": stack_init(keys[4], Hq * Dh, D, False),
+            },
+            "mlp": {
+                "gate": stack_init(keys[5], D, I, False),
+                "up": stack_init(keys[6], D, I, False),
+                "down": stack_init(keys[7], I, D, False),
+            },
+        },
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(
+            jax.random.fold_in(key, 99), (D, cfg.vocab_size), dtype) * 0.02
+    return params
+
+
+def _rope_for(cfg: LLMConfig, positions: jnp.ndarray):
+    """positions: [B, S] (1D) or [3, B, S] (M-RoPE)."""
+    if cfg.mrope_sections is not None:
+        if positions.ndim == 2:
+            positions = jnp.broadcast_to(positions[None], (3, *positions.shape))
+        return mrope_angles(positions, cfg.head_dim, cfg.mrope_sections,
+                            cfg.rope_theta)
+    if positions.ndim == 3:
+        positions = positions[0]
+    return rope_angles(positions, cfg.head_dim, cfg.rope_theta)
+
+
+def decoder_forward(
+    params: dict,
+    cfg: LLMConfig,
+    input_embeds: jnp.ndarray,              # [B, S, D]
+    positions: jnp.ndarray,                 # [B, S] or [3, B, S]
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,   # [B, S]; -1 = padding
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack; returns final hidden states and updated cache."""
+    cos, sin = _rope_for(cfg, positions)
+    x = input_embeds
+
+    def block(x, layer_params, kc, vc, cache_len):
+        h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
+        attn_out, new_kv = mha(
+            layer_params["attn"], h,
+            num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim, rope=(cos, sin), causal=True,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            kv_cache=None if kc is None else (kc, vc),
+            cache_len=cache_len)
+        x = x + attn_out
+        h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
+        x = x + swiglu_mlp(layer_params["mlp"], h)
+        return x, new_kv
+
+    if remat:
+        block = jax.checkpoint(block, static_argnums=())
+
+    if cache is None:
+        def body(x, layer_params):
+            x, _ = block(x, layer_params, None, None, None)
+            return x, None
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+        def body(carry, xs):
+            x, cache_len = carry
+            layer_params, kc, vc = xs
+            x, (nkc, nvc) = block(x, layer_params, kc, vc, cache_len)
+            return (x, cache_len), (nkc, nvc)
+        (x, _), (nk, nv) = jax.lax.scan(
+            body, (x, cache.length), (params["layers"], cache.k, cache.v))
+        new_cache = cache._replace(k=nk, v=nv).advance(input_embeds.shape[1])
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def lm_head(params: dict, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Logits in f32 (reference casts logits to float, vstream_qwen2vl_model.py:558)."""
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed"].T
+    return jnp.dot(hidden, w.astype(hidden.dtype)).astype(jnp.float32)
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][input_ids]
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted causal-LM loss, mean over non-ignored targets
+    (reference: vstream_qwen2vl_model.py:560-571)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

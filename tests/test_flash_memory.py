@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_vstream_tpu.core.config import FlashMemoryConfig
+from flash_vstream_tpu.models.flash_memory import (
+    am_rope_visual_positions,
+    cat_spa_tem,
+    flash_consolidate,
+    flash_stream_update,
+    init_flash_state,
+    qwen_rope_positions,
+)
+
+CFG = FlashMemoryConfig(temporal_length=8, spatial_length=4)  # csm 4, dam 2
+D = 8
+P_FULL = 16   # 2x2 grid of 2x2 windows -> h=w=4
+P_SMALL = 4   # pooled grid h=w=2
+
+
+def test_consolidate_long(rng):
+    t = 10
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    out = flash_consolidate(CFG, x, sx, key=jax.random.PRNGKey(0))
+    assert out.tem_x.shape == (4, P_SMALL, D)
+    assert out.spa_x.shape == (2, P_FULL, D)
+    # timestamps sorted, positions within range
+    ts = np.asarray(out.tem_positions)
+    assert np.all(np.diff(ts) >= 0)
+    assert np.all((ts >= 0) & (ts < t))
+    sp = np.asarray(out.spa_positions)
+    assert np.all((sp >= 0) & (sp < t))
+    # DAM frames are actual bank frames
+    xs = np.asarray(x)
+    for i, p in enumerate(sp):
+        np.testing.assert_allclose(np.asarray(out.spa_x)[i], xs[p], rtol=1e-5)
+
+
+def test_consolidate_short_passthrough(rng):
+    t = 2
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    out = flash_consolidate(CFG, x, sx, key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out.tem_x), np.asarray(sx), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.spa_x), np.asarray(x), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.tem_positions), [0, 1])
+
+
+def test_am_rope_positions():
+    spa_pos = jnp.asarray([5, 9])        # 2 DAM frames
+    tem_pos = jnp.asarray([1, 3, 6, 8])  # 4 CSM clusters
+    pos = am_rope_visual_positions(spa_pos, tem_pos, (4, 4), (2, 2))
+    pos = np.asarray(pos)
+    # DAM: 2 frames x (2x2 merged grid) = 8 tokens; CSM: 4 x 1 = 4 tokens
+    assert pos.shape == (3, 12)
+    # first DAM frame tokens: t=5, h in {0,1}, w in {0,1}
+    np.testing.assert_array_equal(pos[0, :4], [5, 5, 5, 5])
+    np.testing.assert_array_equal(pos[1, :4], [0, 0, 1, 1])
+    np.testing.assert_array_equal(pos[2, :4], [0, 1, 0, 1])
+    # CSM tokens offset by spa_size=8 on every axis
+    np.testing.assert_array_equal(pos[0, 8:], np.array([1, 3, 6, 8]) + 8)
+    # size conservation (reference assert, model.py:275)
+    assert pos.shape[1] == 2 * 4 + 4 * 1
+
+
+def test_qwen_rope_positions():
+    ids = np.arange(20)
+    vis = np.asarray(am_rope_visual_positions(
+        jnp.asarray([5, 9]), jnp.asarray([1, 3, 6, 8]), (4, 4), (2, 2)))
+    pos, delta = qwen_rope_positions(ids, (4, 12), vis)
+    assert pos.shape == (3, 20)
+    np.testing.assert_array_equal(pos[0, :4], [0, 1, 2, 3])
+    # text after the video resumes at max visual position + 1
+    assert pos[0, 16] == vis.max() + 4 + 1
+    assert np.all(np.diff(pos[0, 16:]) == 1)
+
+
+def test_cat_spa_tem(rng):
+    spa = jnp.asarray(rng.normal(size=(2, P_FULL, D)).astype(np.float32))
+    tem = jnp.asarray(rng.normal(size=(4, P_SMALL, D)).astype(np.float32))
+    cat = cat_spa_tem(spa, tem)
+    assert cat.shape == (2 * P_FULL + 4 * P_SMALL, D)
+    np.testing.assert_allclose(np.asarray(cat)[:P_FULL], np.asarray(spa)[0])
+
+
+def test_stream_update(rng):
+    state = init_flash_state(CFG, P_FULL, P_SMALL, D, bank_size=16)
+    step = jax.jit(lambda s, x, sx, n, k: flash_stream_update(CFG, s, x, sx, n, k))
+    for i in range(5):
+        x = jnp.asarray(rng.normal(size=(2, P_FULL, D)).astype(np.float32))
+        sx = jnp.asarray(rng.normal(size=(2, P_SMALL, D)).astype(np.float32))
+        state, out = step(state, x, sx, jnp.int32(2), jax.random.PRNGKey(i))
+    assert int(state.n_frames) == 10
+    assert bool(state.tem_valid.all())
+    # cluster timestamps are global frame indices within the stream
+    ts = np.asarray(state.tem_times)
+    assert np.all((ts >= 0) & (ts < 10))
+    assert np.all(np.diff(ts) >= 0)
+    # DAM snapshot points at real bank frames
+    sp = np.asarray(out.spa_positions)
+    assert np.all((sp >= 0) & (sp < 10))
+    assert np.isfinite(np.asarray(out.spa_x)).all()
+
+
+def test_stream_short_phase(rng):
+    state = init_flash_state(CFG, P_FULL, P_SMALL, D, bank_size=16)
+    x = jnp.asarray(rng.normal(size=(4, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(4, P_SMALL, D)).astype(np.float32))
+    state, out = flash_stream_update(CFG, state, x, sx, jnp.int32(1),
+                                     jax.random.PRNGKey(0))
+    assert int(state.tem_valid.sum()) == 1
+    np.testing.assert_allclose(np.asarray(state.tem_x)[0], np.asarray(sx)[0],
+                               rtol=1e-6)
+    # short DAM: temporal passthrough of the single frame (dup padded)
+    np.testing.assert_array_equal(np.asarray(out.spa_positions), [0, 0])
