@@ -261,7 +261,7 @@ def tiny_llava_config() -> VStreamLLaVAConfig:
         vit=VitConfig(hidden_size=32, intermediate_size=64, num_layers=2,
                       num_heads=4, patch_size=14, image_size=112,
                       select_layer=-2),
-        llm=LLMConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+        llm=LLMConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
                       num_layers=2, num_heads=4, num_kv_heads=2,
                       max_position_embeddings=512),
         projector=ProjectorConfig(projector_type="mlp2x_gelu", input_dim=32,
@@ -280,10 +280,14 @@ def tiny_qwen_config() -> VStreamQwenConfig:
                       num_heads=4, patch_size=14, image_size=0,
                       temporal_patch_size=2, spatial_merge_size=2,
                       use_rope_2d=True, merger_out_dim=64),
-        llm=LLMConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+        llm=LLMConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
                       num_layers=2, num_heads=4, num_kv_heads=2,
                       max_position_embeddings=1024, attention_bias=True,
                       mrope_sections=(2, 3, 3)),
         flash_memory=FlashMemoryConfig(temporal_length=8, spatial_length=4),
         max_seq_len=1024,
+        # ByteTokenizer special ids (see preprocess/qwen_processor.py)
+        image_token_id=258,
+        video_token_id=263,
+        vision_start_token_id=261,
     )

@@ -1,0 +1,206 @@
+"""Flash-VStream-Qwen composition: Qwen2-VL ViT + Flash memory + Qwen2 LLM.
+
+Reference: FlashVStreamQwen2VLModel
+(Flash-VStream-Qwen/models/vstream_qwen2vl_model.py:326-943) and the realtime
+variant (models/vstream_qwen2vl_realtime.py).
+
+The visual pipeline (dual-resolution patch streams -> varlen ViT -> Flash
+memory -> PatchMerger) is one jit per (t, h, w) bucket; grid math and prompt
+token counts are host-side mirrors of get_real_grid_thw /
+get_spatial_real_grid_thw (model.py:43-76).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VStreamQwenConfig
+from ..ops.pooling import qwen_temporal_pool
+from .flash_memory import (
+    FlashMemoryOutput,
+    am_rope_visual_positions,
+    cat_spa_tem,
+    flash_consolidate,
+)
+from .llm import decoder_forward, embed_tokens, init_llm_params, lm_head
+from .qwen2_vit import (
+    grid_positions,
+    grid_segments,
+    init_qwen_vit_params,
+    patch_merger,
+    qwen_vit_blocks,
+)
+
+
+def init_qwen_params(key: jax.Array, cfg: VStreamQwenConfig,
+                     dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "vit": init_qwen_vit_params(k1, cfg.vit, dtype),
+        "llm": init_llm_params(k2, cfg.llm, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Grid math (host-side mirrors of model.py:43-76)
+# ---------------------------------------------------------------------------
+
+def csm_grid(cfg: VStreamQwenConfig, t: int, h: int, w: int) -> Tuple[int, int, int]:
+    fm = cfg.flash_memory
+    nh, nw = h // 2, w // 2
+    nh += nh % 2
+    nw += nw % 2
+    return (min(t, fm.csm_grid_len), nh, nw)
+
+
+def dam_grid(cfg: VStreamQwenConfig, t: int, h: int, w: int) -> Tuple[int, int, int]:
+    return (min(t, cfg.flash_memory.dam_grid_len), h, w)
+
+
+def visual_token_count(cfg: VStreamQwenConfig, t: int, h: int, w: int
+                       ) -> Tuple[int, int]:
+    """(dam_tokens, csm_tokens) in LLM space (grid.prod() // 4 each,
+    model.py:889-898)."""
+    dt, dh, dw = dam_grid(cfg, t, h, w)
+    ct, ch, cw = csm_grid(cfg, t, h, w)
+    return dt * dh * dw // 4, ct * ch * cw // 4
+
+
+# ---------------------------------------------------------------------------
+# Visual encoder pipeline
+# ---------------------------------------------------------------------------
+
+class QwenVisualOutput(NamedTuple):
+    video_embeds: jnp.ndarray       # [n_visual, llm_hidden]
+    visual_positions: jnp.ndarray   # [3, n_visual] AM-RoPE block positions
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def encode_video(
+    params: dict,
+    cfg: VStreamQwenConfig,
+    patches: jnp.ndarray,        # [t*h*w, pd] raw patchified pixels
+    grid: Tuple[int, int, int],  # static (t, h, w)
+    *,
+    key: jax.Array,
+) -> QwenVisualOutput:
+    """Dual-resolution ViT encode + Flash memory + merger for one video.
+
+    Mirrors FlashVStreamQwen2VisionTransformerPretrainedModel.forward
+    (model.py:388-428): the pooled low-res stream is concatenated into the
+    same varlen batch, attention is per frame (segment ids), then FlashMemory
+    consolidates and PatchMerger projects to LLM space."""
+    t, h, w = grid
+    D = cfg.vit.hidden_size
+
+    small, small_grid = qwen_temporal_pool(
+        patches, grid, cfg.vit.patch_size, cfg.vit.temporal_patch_size,
+        cfg.vit.in_channels)
+    all_patches = jnp.concatenate([patches, small], axis=0)
+    grids = [grid, small_grid]
+    S = all_patches.shape[0]
+    S_pad = _round_up(S, 512)
+    all_patches = jnp.pad(all_patches, ((0, S_pad - S), (0, 0)))
+    pos = np.pad(grid_positions(grids), ((0, S_pad - S), (0, 0)))
+    seg = np.pad(grid_segments(grids), (0, S_pad - S), constant_values=-1)
+
+    hidden = qwen_vit_blocks(params["vit"], cfg.vit, all_patches,
+                             jnp.asarray(pos), jnp.asarray(seg))    # [S_pad, D]
+    n_full = t * h * w
+    x = hidden[:n_full].reshape(t, h * w, D)
+    sx = hidden[n_full:S].reshape(t, small_grid[1] * small_grid[2], D)
+
+    fm = flash_consolidate(cfg.flash_memory, x, sx, key=key)
+    merged_in = cat_spa_tem(fm.spa_x, fm.tem_x)                     # [N_tok, D]
+    video_embeds = patch_merger(params["vit"], merged_in)           # [N/4, llm]
+
+    vis_pos = am_rope_visual_positions(
+        fm.spa_positions, fm.tem_positions,
+        (h, w), (small_grid[1], small_grid[2]))
+    return QwenVisualOutput(video_embeds, vis_pos)
+
+
+# ---------------------------------------------------------------------------
+# LLM integration
+# ---------------------------------------------------------------------------
+
+def splice_video_embeds(
+    params: dict,
+    cfg: VStreamQwenConfig,
+    input_ids: np.ndarray,        # [S] host-side, with video-pad token block
+    video_embeds: jnp.ndarray,    # [n_visual, llm_hidden]
+) -> jnp.ndarray:
+    """Replace the contiguous video-pad token block with video embeddings
+    (model.py:528-538). Returns [1, S, llm_hidden]."""
+    (vid_pos,) = np.where(input_ids == cfg.video_token_id)
+    assert len(vid_pos) == video_embeds.shape[0], (
+        f"video token count {len(vid_pos)} != embeds {video_embeds.shape[0]}")
+    start = int(vid_pos[0])
+    assert np.array_equal(vid_pos, np.arange(start, start + len(vid_pos))), \
+        "video tokens must be contiguous"
+    ids = jnp.asarray(input_ids)[None]
+    embeds = embed_tokens(params["llm"], ids)
+    dtype = embeds.dtype
+    return jnp.concatenate([
+        embeds[:, :start],
+        video_embeds[None].astype(dtype),
+        embeds[:, start + len(vid_pos):],
+    ], axis=1)
+
+
+def build_qwen_positions(
+    seq_len: int,
+    video_start: int,
+    n_visual: int,
+    visual_positions: jnp.ndarray,   # [3, n_visual]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side 3D rope positions with the AM-RoPE visual block spliced in
+    (mirror of get_rope_index, model.py:778-939, one video, batch 1).
+
+    Returns ([3, 1, seq_len], rope_delta scalar). Text after the video resumes
+    at max(visual)+1; rope_delta = max(pos)+1-seq_len feeds decode positions
+    (prepare_inputs_for_generation, model.py:612-626)."""
+    pre = jnp.broadcast_to(jnp.arange(video_start)[None], (3, video_start))
+    vis = visual_positions + video_start
+    tail_len = seq_len - video_start - n_visual
+    st_idx = jnp.max(vis) + 1
+    tail = st_idx + jnp.broadcast_to(jnp.arange(tail_len)[None], (3, tail_len))
+    pos = jnp.concatenate([pre, vis, tail], axis=1)
+    rope_delta = jnp.max(pos) + 1 - seq_len
+    return pos[:, None, :], rope_delta
+
+
+def qwen_forward_train(
+    params: dict,
+    cfg: VStreamQwenConfig,
+    patches: jnp.ndarray,
+    grid: Tuple[int, int, int],
+    input_ids: jnp.ndarray,       # [1, S]
+    video_span: Tuple[int, int],  # static (start, n_visual)
+    positions: jnp.ndarray,       # [3, 1, S] precomputed (AM-RoPE spliced)
+    segment_ids: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Training forward -> logits. Positions come precomputed from
+    prepare_inputs_for_training's host mirror (qwen_rope_positions)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    vis = encode_video(params, cfg, patches, grid, key=key)
+    start, n_vis = video_span
+    embeds = embed_tokens(params["llm"], input_ids)
+    embeds = jnp.concatenate([
+        embeds[:, :start],
+        vis.video_embeds[None].astype(embeds.dtype),
+        embeds[:, start + n_vis:],
+    ], axis=1)
+    h, _ = decoder_forward(params["llm"], cfg.llm, embeds, positions,
+                           segment_ids=segment_ids, remat=remat)
+    return lm_head(params["llm"], cfg.llm, h)

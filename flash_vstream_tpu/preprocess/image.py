@@ -1,0 +1,128 @@
+"""Host-side image preprocessing feeding the device graphs.
+
+Reference semantics:
+- CLIP preprocessing + pad-to-square (Flash-VStream-LLaVA/flash_vstream/
+  mm_utils.py:16-42, CLIPImageProcessor defaults)
+- Qwen smart_resize with factor 56 = patch*merge*pool and window patchify
+  (Flash-VStream-Qwen/models/vstream_qwen2vl_processor.py:110-157,
+  qwen_vl_utils/vision_process.py:44-70)
+
+Decode/resize runs on host (numpy/PIL); normalize/patchify are cheap numpy
+ops emitted in the final device layout so the device graph starts at the
+patch stream.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _to_float_chw(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 CHW in [0, 1]."""
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 3 and img.shape[-1] in (1, 3):
+        img = img.transpose(2, 0, 1)
+    return img.astype(np.float32)
+
+
+def _resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize CHW float image to (H, W) via PIL (antialiased)."""
+    from PIL import Image
+    h, w = size
+    chw = np.clip(img * 255.0, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+    pil = Image.fromarray(chw).resize((w, h), Image.BICUBIC)
+    return np.asarray(pil).astype(np.float32).transpose(2, 0, 1) / 255.0
+
+
+def expand2square(img: np.ndarray, fill: Sequence[float]) -> np.ndarray:
+    """Pad CHW image to square with the given per-channel fill
+    (mm_utils.py:16-28 semantics)."""
+    c, h, w = img.shape
+    if h == w:
+        return img
+    s = max(h, w)
+    out = np.empty((c, s, s), img.dtype)
+    out[:] = np.asarray(fill, img.dtype)[:, None, None]
+    top, left = (s - h) // 2, (s - w) // 2
+    out[:, top:top + h, left:left + w] = img
+    return out
+
+
+def clip_preprocess(frames: Sequence[np.ndarray], image_size: int = 336,
+                    pad_to_square: bool = True) -> np.ndarray:
+    """Frames (uint8 HWC or float CHW) -> [T, 3, S, S] normalized."""
+    out = []
+    for f in frames:
+        img = _to_float_chw(f)
+        if pad_to_square:
+            img = expand2square(img, OPENAI_CLIP_MEAN)
+        img = _resize_bilinear(img, (image_size, image_size))
+        img = (img - OPENAI_CLIP_MEAN[:, None, None]) / OPENAI_CLIP_STD[:, None, None]
+        out.append(img)
+    return np.stack(out)
+
+
+def smart_resize(height: int, width: int, factor: int = 56,
+                 min_pixels: int = 56 * 56 * 4,
+                 max_pixels: int = 14 * 14 * 4 * 1280) -> Tuple[int, int]:
+    """Qwen smart resize: round to factor, clamp total pixels
+    (vision_process.py:44-70)."""
+    if height < factor or width < factor:
+        scale = factor / min(height, width)
+        height, width = math.ceil(height * scale), math.ceil(width * scale)
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absolute aspect ratio must be smaller than 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = math.floor(height / beta / factor) * factor
+        w_bar = math.floor(width / beta / factor) * factor
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return max(h_bar, factor), max(w_bar, factor)
+
+
+def qwen_patchify(frames: np.ndarray, patch_size: int = 14,
+                  temporal_patch_size: int = 2, merge_size: int = 2
+                  ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Normalized frames [T, 3, H, W] -> (patch rows [t*h*w, C*tp*ps*ps],
+    grid (t, h, w)) in Qwen window layout [t, h/2, w/2, 2, 2].
+
+    Mirrors Qwen2VLImageProcessor._preprocess patchify; T is padded to a
+    multiple of temporal_patch_size by repeating the last frame
+    (vision_process.py FRAME_FACTOR padding)."""
+    T, C, H, W = frames.shape
+    tp, ps, m = temporal_patch_size, patch_size, merge_size
+    if T % tp:
+        frames = np.concatenate([frames, frames[-1:].repeat(tp - T % tp, 0)])
+        T = frames.shape[0]
+    t, h, w = T // tp, H // ps, W // ps
+    x = frames.reshape(t, tp, C, h // m, m, ps, w // m, m, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)   # [t, hb, wb, hh, ww, C, tp, ps, ps]
+    return x.reshape(t * h * w, C * tp * ps * ps), (t, h, w)
+
+
+def qwen_preprocess(frames: Sequence[np.ndarray],
+                    max_pixels: int = 4 * 224 * 224,
+                    factor: int = 56) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Raw frames -> (patch rows, grid). Resize with the factor-56 smart
+    resize (keeps pooled grids even, processor.py:110-117), CLIP-normalize,
+    patchify."""
+    first = _to_float_chw(frames[0])
+    _, H, W = first.shape
+    nh, nw = smart_resize(H, W, factor=factor, max_pixels=max_pixels)
+    out = []
+    for f in frames:
+        img = _resize_bilinear(_to_float_chw(f), (nh, nw))
+        img = (img - OPENAI_CLIP_MEAN[:, None, None]) / OPENAI_CLIP_STD[:, None, None]
+        out.append(img)
+    return qwen_patchify(np.stack(out))

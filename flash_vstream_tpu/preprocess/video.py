@@ -1,0 +1,96 @@
+"""Host-side video frame sources.
+
+The reference decodes mp4 with decord (C++/FFmpeg,
+serve/cli_video_stream.py:143-146, train/train.py:764-780) or reads
+pre-extracted JPEG frame directories (Qwen pipeline,
+scripts/extract_frames.py). This image has no FFmpeg/decord, so the
+first-class sources are:
+
+- FrameDirSource: %06d.jpg frame directories (the Qwen reference's canonical
+  input format)
+- ArraySource / SyntheticSource: ndarray or generated frames (tests, bench)
+- load_video: pluggable registry; mp4 decode can be registered when a decoder
+  is available on the host.
+
+All sources yield uint8 HWC frames at a target fps.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+_VIDEO_DECODERS: dict = {}
+
+
+def register_video_decoder(ext: str, fn: Callable[[str, float], np.ndarray]):
+    _VIDEO_DECODERS[ext.lower()] = fn
+
+
+class FrameSource:
+    """Iterable of uint8 HWC frames with known fps."""
+
+    def __init__(self, frames: Sequence[np.ndarray], fps: float = 1.0):
+        self._frames = list(frames)
+        self.fps = fps
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __getitem__(self, i):
+        return self._frames[i]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return iter(self._frames)
+
+
+class SyntheticSource(FrameSource):
+    """Deterministic synthetic frames (moving gradient) for tests/bench."""
+
+    def __init__(self, n_frames: int, height: int = 224, width: int = 224,
+                 fps: float = 1.0, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 255, size=(height, width, 3), dtype=np.uint8)
+        frames = []
+        for t in range(n_frames):
+            f = np.roll(base, shift=3 * t, axis=1).copy()
+            f[:, :, 0] = (f[:, :, 0].astype(np.int32) + 5 * t) % 256
+            frames.append(f)
+        super().__init__(frames, fps)
+
+
+def load_frame_dir(path: str, fps: float = 1.0, source_fps: float = 1.0,
+                   max_frames: Optional[int] = None) -> FrameSource:
+    """Load a directory of extracted frames (sorted by name), subsampled from
+    source_fps to fps. Mirrors the Qwen frame-dir pipeline
+    (inference_mcq_vqa.py:244-289)."""
+    from PIL import Image
+    names = sorted(n for n in os.listdir(path)
+                   if n.lower().endswith((".jpg", ".jpeg", ".png")))
+    step = max(int(round(source_fps / fps)), 1)
+    names = names[::step]
+    if max_frames is not None and len(names) > max_frames:
+        idx = np.linspace(0, len(names) - 1, max_frames).round().astype(int)
+        names = [names[i] for i in idx]
+    frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
+              for n in names]
+    return FrameSource(frames, fps)
+
+
+def load_video(path: str, fps: float = 1.0,
+               max_frames: Optional[int] = None) -> FrameSource:
+    """Load frames from a video file or frame directory."""
+    if os.path.isdir(path):
+        return load_frame_dir(path, fps=fps, max_frames=max_frames)
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in _VIDEO_DECODERS:
+        frames = _VIDEO_DECODERS[ext](path, fps)
+        if max_frames is not None and len(frames) > max_frames:
+            idx = np.linspace(0, len(frames) - 1, max_frames).round().astype(int)
+            frames = [frames[i] for i in idx]
+        return FrameSource(list(frames), fps)
+    raise RuntimeError(
+        f"No decoder registered for .{ext}. This image has no FFmpeg/decord; "
+        "pre-extract frames to a directory (scripts/extract_frames.py "
+        "equivalent) or register_video_decoder().")

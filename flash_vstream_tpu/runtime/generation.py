@@ -1,0 +1,97 @@
+"""KV-cached autoregressive generation.
+
+Replaces the reference's HF `generate()` calls (model_msvd_qa_featuresloader.py:147-156,
+inference_mcq_vqa.py:344-346) with a jitted prefill + jitted decode step and a
+host loop. Deterministic decode matches the reference eval settings
+(top_k=1 / do_sample=False).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LLMConfig
+from ..models.layers import KVCache
+from ..models.llm import decoder_forward, embed_tokens, lm_head
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 128
+    temperature: float = 0.0       # 0 => greedy (reference: do_sample=False)
+    eos_token_ids: Sequence[int] = ()
+    seed: int = 0
+
+
+def _sample(logits: jnp.ndarray, temperature: float, key) -> jnp.ndarray:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+class Generator:
+    """Caches the jitted prefill/decode functions for one (params, cfg)."""
+
+    def __init__(self, params: dict, cfg: LLMConfig, max_len: int = 4096,
+                 cache_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.max_len = max_len
+        self.cache_dtype = cache_dtype
+        mrope = cfg.mrope_sections is not None
+
+        def prefill(params, embeds, positions, cache):
+            h, cache = decoder_forward(params, cfg, embeds, positions,
+                                       cache=cache)
+            return lm_head(params, cfg, h)[:, -1], cache
+
+        def step(params, tok, pos_scalar, cache):
+            emb = embed_tokens(params, tok[:, None])
+            if mrope:
+                pos = jnp.broadcast_to(pos_scalar.reshape(1, 1, 1),
+                                       (3, tok.shape[0], 1))
+            else:
+                pos = jnp.broadcast_to(pos_scalar.reshape(1, 1),
+                                       (tok.shape[0], 1))
+            h, cache = decoder_forward(params, cfg, emb, pos, cache=cache)
+            return lm_head(params, cfg, h)[:, -1], cache
+
+        self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        self._step = jax.jit(step, donate_argnums=(3,))
+
+    def new_cache(self, batch: int = 1) -> KVCache:
+        return KVCache.create(self.cfg.num_layers, batch,
+                              self.cfg.num_kv_heads, self.max_len,
+                              self.cfg.head_dim, self.cache_dtype)
+
+    def generate(
+        self,
+        embeds: jnp.ndarray,                 # [B, S, D] prompt embeddings
+        positions: jnp.ndarray,              # [B, S] or [3, B, S]
+        gen: GenerationConfig,
+        decode_pos_start: Optional[int] = None,  # first decode position
+    ) -> List[int]:
+        """Greedy/temperature decode; returns generated token ids (batch 1)."""
+        B, S, _ = embeds.shape
+        assert B == 1, "generation currently supports batch=1 per stream"
+        cache = self.new_cache(B)
+        logits, cache = self._prefill(self.params, embeds, positions, cache)
+        if decode_pos_start is None:
+            decode_pos_start = S
+        key = jax.random.PRNGKey(gen.seed)
+        out: List[int] = []
+        tok = _sample(logits, gen.temperature, key)
+        for i in range(gen.max_new_tokens):
+            t = int(tok[0])
+            out.append(t)
+            if t in gen.eos_token_ids:
+                break
+            key, sub = jax.random.split(key)
+            logits, cache = self._step(self.params, tok,
+                                       jnp.int32(decode_pos_start + i), cache)
+            tok = _sample(logits, gen.temperature, sub)
+        return out

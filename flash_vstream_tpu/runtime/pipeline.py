@@ -1,0 +1,117 @@
+"""Offline question-answering pipelines for both model families.
+
+These are the framework's equivalents of the reference's `model.generate()`
+entry points for offline video QA:
+- LLaVA: eval_video/model_msvd_qa.py:147-156 (encode -> STAR -> splice ->
+  generate with conv_vicuna_v1)
+- Qwen: inference_mcq_vqa.py:291-346 (processor -> visual pipeline -> ChatML
+  -> generate)
+
+Everything device-side is jitted per shape bucket; the host only decodes
+frames, tokenizes, and runs the decode loop.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VStreamLLaVAConfig, VStreamQwenConfig
+from ..models import vstream_llava, vstream_qwen
+from ..preprocess.image import clip_preprocess, qwen_preprocess
+from ..preprocess.prompts import conv_templates
+from ..preprocess.qwen_processor import build_video_prompt
+from ..preprocess.tokenizer import ByteTokenizer, tokenizer_image_token
+from .generation import GenerationConfig, Generator
+
+
+def _bucket(n: int, sizes=(8, 16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return sizes[-1]
+
+
+class LLaVAPipeline:
+    """Offline LLaVA-generation video QA."""
+
+    def __init__(self, params: dict, cfg: VStreamLLaVAConfig, tokenizer,
+                 conv_template: str = "vicuna_v1", max_len: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.conv_template = conv_template
+        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        self._encode = jax.jit(
+            lambda imgs: vstream_llava.encode_frames(params, cfg, imgs))
+        self._consolidate = jax.jit(
+            lambda feats, n, key: vstream_llava.consolidate(
+                params, cfg, feats, n, key))
+
+    def encode_video(self, frames: Sequence[np.ndarray]) -> jnp.ndarray:
+        imgs = clip_preprocess(frames, self.cfg.vit.image_size)
+        return self._encode(jnp.asarray(imgs))
+
+    def answer(self, frames: Sequence[np.ndarray], question: str,
+               gen: Optional[GenerationConfig] = None, seed: int = 0,
+               features: Optional[jnp.ndarray] = None) -> str:
+        if features is None:
+            features = self.encode_video(frames)
+        T = features.shape[0]
+        Tb = _bucket(T)
+        feats = jnp.pad(features, ((0, Tb - T), (0, 0), (0, 0)))
+        memory = self._consolidate(feats, jnp.int32(T), jax.random.PRNGKey(seed))
+
+        conv = conv_templates[self.conv_template].copy()
+        conv.append_message(conv.roles[0], "<image>\n" + question)
+        conv.append_message(conv.roles[1], None)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+
+        embeds, positions = vstream_llava.build_multimodal_embeds(
+            self.params, self.cfg, input_ids, memory, T)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        out_ids = self.generator.generate(embeds, positions, gen)
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+
+
+class QwenPipeline:
+    """Offline Qwen-generation video QA / MCQ."""
+
+    def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
+                 max_len: int = 16384, max_pixels: int = 4 * 224 * 224):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_pixels = max_pixels
+        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        self._encode_cache = {}
+
+    def _encode_fn(self, grid):
+        if grid not in self._encode_cache:
+            self._encode_cache[grid] = jax.jit(
+                lambda p, key: vstream_qwen.encode_video(
+                    self.params, self.cfg, p, grid, key=key))
+        return self._encode_cache[grid]
+
+    def answer(self, frames: Sequence[np.ndarray], question: str,
+               gen: Optional[GenerationConfig] = None, seed: int = 0) -> str:
+        patches, grid = qwen_preprocess(frames, max_pixels=self.max_pixels)
+        vis = self._encode_fn(grid)(jnp.asarray(patches),
+                                    jax.random.PRNGKey(seed))
+
+        input_ids, video_span = build_video_prompt(
+            self.cfg, self.tokenizer, question, grid=grid)
+        embeds = vstream_qwen.splice_video_embeds(
+            self.params, self.cfg, input_ids, vis.video_embeds)
+        positions, rope_delta = vstream_qwen.build_qwen_positions(
+            len(input_ids), video_span[0], video_span[1], vis.visual_positions)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        decode_start = len(input_ids) + int(rope_delta)
+        out_ids = self.generator.generate(embeds, positions, gen,
+                                          decode_pos_start=decode_start)
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
