@@ -1,0 +1,79 @@
+"""Benchmark: sustained streaming frame ingestion (encode + memory update).
+
+Measures the BASELINE.json headline metric on the Qwen-generation pipeline at
+full vision scale: Qwen2-VL ViT (32 layers, 1280 hidden, dual-resolution
+stream) + Flash memory consolidation (weighted k-means over the CSM bank +
+DAM retrieval) per ingested frame, on one chip.
+
+Baseline: the north-star target of 30 fps sustained ingest
+(BASELINE.json: ">=30 fps sustained frame ingestion + memory update").
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flash_vstream_tpu.core.config import (
+        FlashMemoryConfig, LLMConfig, QWEN2_VL_VIT, VStreamQwenConfig)
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.preprocess.qwen_processor import make_byte_qwen_tokenizer
+    from flash_vstream_tpu.runtime.streaming import QwenStreamSession
+
+    # full-scale vision tower; tiny LLM stub (the LLM is not on the ingest path)
+    cfg = VStreamQwenConfig(
+        vit=QWEN2_VL_VIT,
+        llm=LLMConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      attention_bias=True, mrope_sections=(2, 3, 3)),
+        flash_memory=FlashMemoryConfig(),   # temporal 120, spatial 60
+        image_token_id=258, video_token_id=263, vision_start_token_id=261,
+    )
+    dtype = jnp.bfloat16
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    clip_size = int(os.environ.get("BENCH_CLIP", "8"))       # frames per ingest
+    n_clips = int(os.environ.get("BENCH_CLIPS", "30"))
+    side = int(os.environ.get("BENCH_SIDE", "224"))
+
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(side, side), clip_size=clip_size,
+                             bank_size=1024, max_len=2048)
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, size=(side, side, 3), dtype=np.uint8)
+              for _ in range(clip_size)]
+
+    # warmup (compile)
+    sess.ingest_frames(frames)
+    sess.block_until_ingested()
+    # fill past the memory budget so steady-state includes full clustering
+    for _ in range(max((cfg.flash_memory.csm_grid_len * 2) // clip_size, 4)):
+        sess.ingest_frames(frames)
+    sess.block_until_ingested()
+
+    t0 = time.perf_counter()
+    for _ in range(n_clips):
+        sess.ingest_frames(frames)
+    sess.block_until_ingested()
+    dt = time.perf_counter() - t0
+
+    fps = n_clips * clip_size / dt
+    baseline = 30.0
+    print(json.dumps({
+        "metric": "streaming_ingest_fps_encode_plus_memory_update",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

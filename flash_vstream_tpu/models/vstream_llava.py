@@ -60,11 +60,16 @@ def consolidate(params: dict, cfg: VStreamLLaVAConfig, features: jnp.ndarray,
     return star_consolidate(params["ntm"], cfg.star, features, n_valid, key)
 
 
-def star_valid_counts(cfg, n_frames: int) -> Tuple[int, int, int, int]:
-    """Host-side mirror of the validity masks in star_consolidate: token
-    counts per section for a video of n_frames."""
+def star_valid_counts(cfg, n_frames: int,
+                      streaming: bool = False) -> Tuple[int, int, int, int]:
+    """Host-side mirror of the validity masks in star_consolidate /
+    star_stream_update: token counts per section for a video of n_frames.
+
+    Offline excludes the current frames from the history (vstream_arch.py:
+    248-250); streaming folds every frame into long/Turing memory
+    (embed_video_streaming, vstream_arch.py:657-658)."""
     star = cfg.star
-    n_hist = max(n_frames - star.current_length, 0)
+    n_hist = n_frames if streaming else max(n_frames - star.current_length, 0)
     n_turing = min(n_hist, star.turing_length) * star.turing_size ** 2
     n_long = min(n_hist, star.long_length) * star.long_size ** 2
     n_key = (star.key_length if n_hist > 0 else 0) * star.current_size ** 2
@@ -84,13 +89,14 @@ def build_multimodal_embeds(
     input_ids: np.ndarray,          # [S] host-side; one IMAGE_TOKEN_INDEX
     memory: STARMemory,
     n_frames: int,
+    streaming: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Splice projected memory tokens at the <image> position.
 
     Mirrors prepare_inputs_labels_for_multimodal's token surgery
     (vstream_arch.py:355-436) for batch 1. Returns (embeds [1, S', D],
     positions [1, S'])."""
-    n_mem = sum(star_valid_counts(cfg, n_frames))
+    n_mem = sum(star_valid_counts(cfg, n_frames, streaming=streaming))
     mem_tokens = pack_memory_tokens(memory, n_mem)
     mem_proj = project(params["projector"], cfg.projector, mem_tokens)
 

@@ -111,6 +111,30 @@ def qwen_patchify(frames: np.ndarray, patch_size: int = 14,
     return x.reshape(t * h * w, C * tp * ps * ps), (t, h, w)
 
 
+def qwen_device_preprocess(frames_u8, patch_size: int = 14,
+                           temporal_patch_size: int = 2, merge_size: int = 2):
+    """Device-side fused preprocess: uint8 frames [T, H, W, 3] -> normalized
+    patch rows [t*h*w, C*tp*ps*ps] (jnp ops, lives inside the ingest jit).
+
+    This is the north-star 'decode -> resize -> normalize -> patchify fused
+    into a single XLA preprocessing graph' (BASELINE.json): the host ships raw
+    uint8 (4x less PCIe/tunnel traffic than f32), normalization and window
+    patchify fuse into the ViT's first matmul. T must be a multiple of
+    temporal_patch_size; H, W multiples of patch_size*merge_size."""
+    import jax.numpy as jnp
+    T, H, W, C = frames_u8.shape
+    tp, ps, m = temporal_patch_size, patch_size, merge_size
+    x = frames_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(OPENAI_CLIP_MEAN)
+    std = jnp.asarray(OPENAI_CLIP_STD)
+    x = (x - mean) / std                              # [T, H, W, C]
+    x = x.transpose(0, 3, 1, 2)                       # [T, C, H, W]
+    t, h, w = T // tp, H // ps, W // ps
+    x = x.reshape(t, tp, C, h // m, m, ps, w // m, m, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(t * h * w, C * tp * ps * ps)
+
+
 def qwen_preprocess(frames: Sequence[np.ndarray],
                     max_pixels: int = 4 * 224 * 224,
                     factor: int = 56) -> Tuple[np.ndarray, Tuple[int, int, int]]:

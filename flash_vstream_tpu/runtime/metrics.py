@@ -1,0 +1,71 @@
+"""Latency metering.
+
+Keeps the reference's MetricMeter API
+(Flash-VStream-LLaVA/flash_vstream/serve/cli_video_stream.py:33-99,
+cli_server_2gpu.py:39-105): val/avg/max/sum over named series, plus the
+streaming latency breakdown names used by the CLIs
+(memory_latency_{encoder,readwrite,cluster,retrieve}, llm_latency, ...).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+
+class AverageMeter:
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.max = float("-inf")
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+        self.max = max(self.max, val)
+
+    def __str__(self):
+        return f"{self.name} val={self.val:.4f} avg={self.avg:.4f} max={self.max:.4f}"
+
+
+class MetricMeter:
+    def __init__(self):
+        self.meters: Dict[str, AverageMeter] = {}
+
+    def update(self, name: str, val: float, n: int = 1):
+        if name not in self.meters:
+            self.meters[name] = AverageMeter(name)
+        self.meters[name].update(val, n)
+
+    def get(self, name: str) -> Optional[AverageMeter]:
+        return self.meters.get(name)
+
+    def summary(self) -> str:
+        return "\n".join(str(m) for m in self.meters.values())
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"val": m.val, "avg": m.avg, "max": m.max, "count": m.count}
+                for k, m in self.meters.items()}
+
+
+class Timer:
+    """Context manager feeding a MetricMeter series."""
+
+    def __init__(self, meter: MetricMeter, name: str):
+        self.meter = meter
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.meter.update(self.name, time.perf_counter() - self.t0)
+        return False

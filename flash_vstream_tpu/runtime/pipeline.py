@@ -45,15 +45,17 @@ class LLaVAPipeline:
         self.tokenizer = tokenizer
         self.conv_template = conv_template
         self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        # params passed as jit arguments (NOT closed over: closures inline
+        # weights as HLO constants, which breaks remote compile)
         self._encode = jax.jit(
-            lambda imgs: vstream_llava.encode_frames(params, cfg, imgs))
+            lambda params, imgs: vstream_llava.encode_frames(params, cfg, imgs))
         self._consolidate = jax.jit(
-            lambda feats, n, key: vstream_llava.consolidate(
+            lambda params, feats, n, key: vstream_llava.consolidate(
                 params, cfg, feats, n, key))
 
     def encode_video(self, frames: Sequence[np.ndarray]) -> jnp.ndarray:
         imgs = clip_preprocess(frames, self.cfg.vit.image_size)
-        return self._encode(jnp.asarray(imgs))
+        return self._encode(self.params, jnp.asarray(imgs))
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0,
@@ -63,7 +65,8 @@ class LLaVAPipeline:
         T = features.shape[0]
         Tb = _bucket(T)
         feats = jnp.pad(features, ((0, Tb - T), (0, 0), (0, 0)))
-        memory = self._consolidate(feats, jnp.int32(T), jax.random.PRNGKey(seed))
+        memory = self._consolidate(self.params, feats, jnp.int32(T),
+                                   jax.random.PRNGKey(seed))
 
         conv = conv_templates[self.conv_template].copy()
         conv.append_message(conv.roles[0], "<image>\n" + question)
@@ -93,14 +96,14 @@ class QwenPipeline:
     def _encode_fn(self, grid):
         if grid not in self._encode_cache:
             self._encode_cache[grid] = jax.jit(
-                lambda p, key: vstream_qwen.encode_video(
-                    self.params, self.cfg, p, grid, key=key))
+                lambda params, p, key: vstream_qwen.encode_video(
+                    params, self.cfg, p, grid, key=key))
         return self._encode_cache[grid]
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0) -> str:
         patches, grid = qwen_preprocess(frames, max_pixels=self.max_pixels)
-        vis = self._encode_fn(grid)(jnp.asarray(patches),
+        vis = self._encode_fn(grid)(self.params, jnp.asarray(patches),
                                     jax.random.PRNGKey(seed))
 
         input_ids, video_span = build_video_prompt(

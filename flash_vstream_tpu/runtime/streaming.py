@@ -1,0 +1,313 @@
+"""Single-process streaming engine: async device-side frame ingestion with a
+device-resident memory state, overlapped with KV-cached decoding.
+
+This replaces the reference's 4-process design (main LLM loop + listener +
+frame simulator + memory manager communicating through
+torch.multiprocessing Manager.list + Lock + retry loops,
+cli_video_stream.py:206-327, cli_server_2gpu.py:241-402):
+
+- ingest is ONE jitted state transition (encode clip -> consolidate ->
+  write state in-place via donated buffers). JAX dispatch is asynchronous, so
+  the host thread returns immediately and the next clip's host-side
+  preprocessing overlaps device compute — no processes, no locks, no CPU
+  tensor round-trips.
+- a question reads the current state pytree (a snapshot by construction —
+  functional updates never mutate the arrays a reader holds), so the
+  reference's lock + 300-retry loop (vstream_arch.py:477-491) disappears.
+- multi-stream: states stack along a leading axis and ingest is vmapped,
+  batching encode+consolidate across streams (BASELINE config #5).
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VStreamLLaVAConfig, VStreamQwenConfig
+from ..models import vstream_llava, vstream_qwen
+from ..models.flash_memory import (
+    FlashState,
+    am_rope_visual_positions,
+    cat_spa_tem,
+    flash_stream_update,
+    init_flash_state,
+)
+from ..models.qwen2_vit import patch_merger, qwen_vit_blocks, prepare_vit_inputs
+from ..models.star_memory import (
+    init_star_state,
+    star_memory_tokens,
+    star_stream_update,
+)
+from ..ops.pooling import qwen_temporal_pool
+from ..preprocess.image import (
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+    _resize_bilinear,
+    _to_float_chw,
+    clip_preprocess,
+    qwen_device_preprocess,
+    smart_resize,
+)
+from ..preprocess.qwen_processor import build_video_prompt
+from ..preprocess.tokenizer import tokenizer_image_token
+from ..preprocess.prompts import conv_templates
+from .generation import GenerationConfig, Generator
+from .metrics import MetricMeter, Timer
+
+
+class LLaVAStreamSession:
+    """Streaming LLaVA-generation session (config #3 of BASELINE.json)."""
+
+    def __init__(self, params: dict, cfg: VStreamLLaVAConfig, tokenizer,
+                 clip_size: int = 1, conv_template: str = "vicuna_v1",
+                 max_len: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.clip_size = clip_size
+        self.conv_template = conv_template
+        self.metrics = MetricMeter()
+        self.state = init_star_state(
+            cfg.star, cfg.projector.effective_input_dim)
+        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+
+        def ingest(params, state, images, n_new, key):
+            feats = vstream_llava.encode_frames(params, cfg, images)
+            return star_stream_update(params["ntm"], cfg.star, state, feats,
+                                      n_new, key)
+        # donate the state so the update happens in-place in HBM; params are
+        # jit arguments (closures would inline weights as HLO constants)
+        self._ingest = jax.jit(ingest, donate_argnums=(1,))
+        self._step = 0
+
+    def ingest_frames(self, frames: Sequence[np.ndarray]):
+        """Dispatch one clip's encode+consolidate; returns without blocking."""
+        with Timer(self.metrics, "memory_latency_host_preprocess"):
+            imgs = clip_preprocess(frames, self.cfg.vit.image_size)
+            n = len(frames)
+            pad = self.clip_size - n
+            if pad > 0:
+                imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
+        t0 = time.perf_counter()
+        self.state = self._ingest(self.params, self.state, jnp.asarray(imgs),
+                                  jnp.int32(n), jax.random.PRNGKey(self._step))
+        self._step += 1
+        self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
+
+    def block_until_ingested(self):
+        jax.block_until_ready(self.state.long)
+
+    def answer(self, question: str,
+               gen: Optional[GenerationConfig] = None) -> str:
+        with Timer(self.metrics, "llm_latency"):
+            with Timer(self.metrics, "llm_latency_memoryio"):
+                memory = star_memory_tokens(self.cfg.star, self.state)
+                n_frames = int(self.state.n_frames)
+            conv = conv_templates[self.conv_template].copy()
+            conv.append_message(conv.roles[0], "<image>\n" + question)
+            conv.append_message(conv.roles[1], None)
+            input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+            embeds, positions = vstream_llava.build_multimodal_embeds(
+                self.params, self.cfg, input_ids, memory, n_frames,
+                streaming=True)
+            gen = gen or GenerationConfig(
+                max_new_tokens=128,
+                eos_token_ids=(self.tokenizer.eos_token_id,))
+            out = self.generator.generate(embeds, positions, gen)
+        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+class QwenStreamSession:
+    """Streaming Qwen-generation session (cli_server_2gpu.py replacement)."""
+
+    def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
+                 frame_hw=(224, 224), clip_size: int = 1,
+                 bank_size: int = 1024, max_len: int = 16384,
+                 max_pixels: int = 4 * 224 * 224):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.clip_size = clip_size
+        self.metrics = MetricMeter()
+        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+
+        h, w = frame_hw
+        self.resize_hw = smart_resize(h, w, factor=56, max_pixels=max_pixels)
+        gh, gw = self.resize_hw[0] // 14, self.resize_hw[1] // 14
+        self.grid_hw = (gh, gw)
+        self.p_full = gh * gw
+        self.p_small = (gh // 2) * (gw // 2)
+        self.state = init_flash_state(cfg.flash_memory, self.p_full,
+                                      self.p_small, cfg.vit.hidden_size,
+                                      bank_size=bank_size)
+        self._snapshot = None   # (spa_x, spa_pos, tem_x, tem_pos) device arrays
+        self._step = 0
+
+        t_clip = clip_size // 2 if clip_size >= 2 else 1
+        grid = (t_clip, gh, gw)
+        S = t_clip * gh * gw
+        S_small = S // 4
+        S_pad = -(-(S + S_small) // 512) * 512
+        pos_np, seg_np = prepare_vit_inputs(
+            [grid, (t_clip, gh // 2, gw // 2)], pad_to=S_pad)
+        pos_c, seg_c = jnp.asarray(pos_np), jnp.asarray(seg_np)
+
+        def ingest(params, state, frames_u8, n_new, key):
+            # fused device preprocess: uint8 -> normalized patch stream
+            patches = qwen_device_preprocess(frames_u8)
+            # dual-resolution encode of the clip
+            small, small_grid = qwen_temporal_pool(patches, grid)
+            allp = jnp.concatenate([patches, small], axis=0)
+            allp = jnp.pad(allp, ((0, S_pad - allp.shape[0]), (0, 0)))
+            hidden = qwen_vit_blocks(params["vit"], cfg.vit, allp, pos_c, seg_c)
+            D = cfg.vit.hidden_size
+            x = hidden[:S].reshape(t_clip, self.p_full, D)
+            sx = hidden[S:S + S_small].reshape(t_clip, self.p_small, D)
+            state, out = flash_stream_update(cfg.flash_memory, state, x, sx,
+                                             n_new, key)
+            # pre-merge the LLM-ready embeds like embed_new_video_clip
+            # (realtime.py:616-620) so answering is pure memory-IO
+            video_embeds = patch_merger(params["vit"],
+                                        cat_spa_tem(out.spa_x, out.tem_x))
+            return state, (out.spa_positions, out.tem_positions, video_embeds)
+
+        self._ingest = jax.jit(ingest, donate_argnums=(1,))
+
+    def ingest_frames(self, frames: Sequence[np.ndarray]):
+        assert len(frames) <= self.clip_size
+        with Timer(self.metrics, "memory_latency_host_preprocess"):
+            nh, nw = self.resize_hw
+            arr = []
+            for f in frames:
+                f = np.asarray(f)
+                if f.shape[:2] != (nh, nw):   # resize only when needed
+                    f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
+                                * 255.0, 0, 255).transpose(1, 2, 0)
+                arr.append(f.astype(np.uint8))
+            n = len(arr)
+            while len(arr) % 2 or len(arr) < self.clip_size:
+                arr.append(arr[-1])
+            frames_u8 = np.stack(arr)
+        t0 = time.perf_counter()
+        # frame-pair count actually ingested
+        n_pairs = jnp.int32(-(-n // 2))
+        self.state, self._snapshot = self._ingest(
+            self.params, self.state, jnp.asarray(frames_u8), n_pairs,
+            jax.random.PRNGKey(self._step))
+        self._step += 1
+        self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
+
+    def block_until_ingested(self):
+        jax.block_until_ready(self.state.tem_x)
+
+    def answer(self, question: str,
+               gen: Optional[GenerationConfig] = None) -> str:
+        assert self._snapshot is not None, "no frames ingested yet"
+        with Timer(self.metrics, "llm_latency"):
+            with Timer(self.metrics, "llm_latency_memoryio"):
+                spa_pos, tem_pos, video_embeds = self._snapshot
+                n_frames = int(self.state.n_frames)
+            fm = self.cfg.flash_memory
+            t_dam = min(n_frames, fm.dam_grid_len)
+            t_csm = min(n_frames, fm.csm_grid_len)
+            gh, gw = self.grid_hw
+            n_dam_tok = t_dam * self.p_full // 4
+            n_csm_tok = t_csm * self.p_small // 4
+            # slice the fixed-capacity snapshot to the live token count
+            dam_embeds = video_embeds[:t_dam * self.p_full // 4]
+            csm_full = video_embeds[fm.dam_grid_len * self.p_full // 4:]
+            csm_embeds = csm_full[:n_csm_tok]
+            embeds_vis = jnp.concatenate([dam_embeds, csm_embeds])
+            vis_pos = am_rope_visual_positions(
+                spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw),
+                (gh // 2, gw // 2))
+
+            input_ids, span = build_video_prompt(
+                self.cfg, self.tokenizer, question,
+                n_video_tokens=n_dam_tok + n_csm_tok)
+            embeds = vstream_qwen.splice_video_embeds(
+                self.params, self.cfg, input_ids, embeds_vis)
+            positions, rope_delta = vstream_qwen.build_qwen_positions(
+                len(input_ids), span[0], span[1], vis_pos)
+            gen = gen or GenerationConfig(
+                max_new_tokens=128,
+                eos_token_ids=(self.tokenizer.eos_token_id,))
+            out = self.generator.generate(
+                embeds, positions, gen,
+                decode_pos_start=len(input_ids) + int(rope_delta))
+        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+class MultiStreamEngine:
+    """Batched ingest for N concurrent LLaVA-family streams: states stack on a
+    leading axis, encode+consolidate runs vmapped (one launch for all
+    streams). Answers are per-stream (config #5's shared batched decode is a
+    planned optimization)."""
+
+    def __init__(self, params: dict, cfg: VStreamLLaVAConfig, tokenizer,
+                 n_streams: int, clip_size: int = 1, max_len: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.n_streams = n_streams
+        self.clip_size = clip_size
+        self.tokenizer = tokenizer
+        self.metrics = MetricMeter()
+        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        one = init_star_state(cfg.star, cfg.projector.effective_input_dim)
+        self.states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_streams, *x.shape)).copy(), one)
+
+        def ingest_one(params, state, images, n_new, key):
+            feats = vstream_llava.encode_frames(params, cfg, images)
+            return star_stream_update(params["ntm"], cfg.star, state, feats,
+                                      n_new, key)
+        self._ingest = jax.jit(
+            jax.vmap(ingest_one, in_axes=(None, 0, 0, 0, 0)),
+            donate_argnums=(1,))
+        self._step = 0
+
+    def ingest(self, clips: Sequence[Sequence[np.ndarray]]):
+        """clips: one frame list per stream (may be ragged; padded+masked)."""
+        assert len(clips) == self.n_streams
+        imgs, ns = [], []
+        for frames in clips:
+            x = clip_preprocess(frames, self.cfg.vit.image_size) if frames \
+                else np.zeros((0, 3, self.cfg.vit.image_size,
+                               self.cfg.vit.image_size), np.float32)
+            n = x.shape[0]
+            if n < self.clip_size:
+                pad = np.zeros((self.clip_size - n, *x.shape[1:]), np.float32)
+                x = np.concatenate([x, pad]) if n else pad
+            imgs.append(x[:self.clip_size])
+            ns.append(n)
+        keys = jax.random.split(jax.random.PRNGKey(self._step), self.n_streams)
+        self._step += 1
+        t0 = time.perf_counter()
+        self.states = self._ingest(self.params, self.states,
+                                   jnp.asarray(np.stack(imgs)),
+                                   jnp.asarray(ns, jnp.int32), keys)
+        self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
+
+    def block(self):
+        jax.block_until_ready(self.states.long)
+
+    def answer(self, stream_idx: int, question: str,
+               gen: Optional[GenerationConfig] = None) -> str:
+        state = jax.tree.map(lambda x: x[stream_idx], self.states)
+        memory = star_memory_tokens(self.cfg.star, state)
+        n_frames = int(state.n_frames)
+        conv = conv_templates["vicuna_v1"].copy()
+        conv.append_message(conv.roles[0], "<image>\n" + question)
+        conv.append_message(conv.roles[1], None)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        embeds, positions = vstream_llava.build_multimodal_embeds(
+            self.params, self.cfg, input_ids, memory, n_frames,
+            streaming=True)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        out = self.generator.generate(embeds, positions, gen)
+        return self.tokenizer.decode(out, skip_special_tokens=True).strip()

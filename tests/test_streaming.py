@@ -1,0 +1,119 @@
+"""Streaming engine tests: fake frame source -> incremental ingest -> QA.
+
+Covers SURVEY.md §4's streaming test strategy (fake frame source) for both
+families plus the vmapped multi-stream engine.
+"""
+import jax
+import numpy as np
+import pytest
+
+from flash_vstream_tpu.core.config import tiny_llava_config, tiny_qwen_config
+from flash_vstream_tpu.models.vstream_llava import init_llava_params
+from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+from flash_vstream_tpu.preprocess.qwen_processor import make_byte_qwen_tokenizer
+from flash_vstream_tpu.preprocess.tokenizer import ByteTokenizer
+from flash_vstream_tpu.preprocess.video import SyntheticSource
+from flash_vstream_tpu.runtime.generation import GenerationConfig
+from flash_vstream_tpu.runtime.streaming import (
+    LLaVAStreamSession,
+    MultiStreamEngine,
+    QwenStreamSession,
+)
+
+
+@pytest.fixture(scope="module")
+def llava_setup():
+    cfg = tiny_llava_config()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def test_llava_stream_session(llava_setup):
+    params, cfg = llava_setup
+    sess = LLaVAStreamSession(params, cfg, ByteTokenizer(), clip_size=2,
+                              max_len=512)
+    src = SyntheticSource(10, 112, 112)
+    for i in range(0, 10, 2):
+        sess.ingest_frames([src[i], src[i + 1]])
+    sess.block_until_ingested()
+    assert int(sess.state.n_frames) == 10
+    out = sess.answer("What happened?", GenerationConfig(max_new_tokens=6))
+    assert isinstance(out, str)
+    # memory is saturated past the configured lengths
+    assert bool(sess.state.long_valid.all())
+    m = sess.metrics.as_dict()
+    assert m["memory_latency_dispatch"]["count"] == 5
+
+
+def test_llava_stream_answer_midstream(llava_setup):
+    """Questions can be answered at any point; early answers use partial memory."""
+    params, cfg = llava_setup
+    sess = LLaVAStreamSession(params, cfg, ByteTokenizer(), clip_size=1,
+                              max_len=512)
+    src = SyntheticSource(4, 112, 112)
+    sess.ingest_frames([src[0]])
+    out1 = sess.answer("Q?", GenerationConfig(max_new_tokens=4))
+    for i in range(1, 4):
+        sess.ingest_frames([src[i]])
+    out2 = sess.answer("Q?", GenerationConfig(max_new_tokens=4))
+    assert isinstance(out1, str) and isinstance(out2, str)
+
+
+def test_qwen_stream_session():
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=512)
+    src = SyntheticSource(12, 56, 56)
+    for i in range(0, 12, 2):
+        sess.ingest_frames([src[i], src[i + 1]])
+    sess.block_until_ingested()
+    assert int(sess.state.n_frames) == 6     # frame pairs
+    out = sess.answer("What is shown?", GenerationConfig(max_new_tokens=6))
+    assert isinstance(out, str)
+    # CSM saturated (6 > csm_grid_len=4); timestamps are global pair indices
+    assert bool(sess.state.tem_valid.all())
+    ts = np.asarray(sess.state.tem_times)
+    assert np.all((ts >= 0) & (ts < 6))
+
+
+def test_qwen_stream_early_answer():
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=512)
+    src = SyntheticSource(2, 56, 56)
+    sess.ingest_frames([src[0], src[1]])
+    out = sess.answer("Q?", GenerationConfig(max_new_tokens=4))
+    assert isinstance(out, str)
+
+
+def test_multi_stream_engine(llava_setup):
+    params, cfg = llava_setup
+    eng = MultiStreamEngine(params, cfg, ByteTokenizer(), n_streams=3,
+                            clip_size=2, max_len=512)
+    srcs = [SyntheticSource(8, 112, 112, seed=s) for s in range(3)]
+    for i in range(0, 8, 2):
+        eng.ingest([[s[i], s[i + 1]] for s in srcs])
+    eng.block()
+    assert list(np.asarray(eng.states.n_frames)) == [8, 8, 8]
+    outs = [eng.answer(j, "Q?", GenerationConfig(max_new_tokens=4))
+            for j in range(3)]
+    assert all(isinstance(o, str) for o in outs)
+    # streams with different content should have different memory
+    la = np.asarray(eng.states.long)
+    assert not np.allclose(la[0], la[1])
+
+
+def test_multi_stream_ragged_clips(llava_setup):
+    """Streams may receive different numbers of frames per tick."""
+    params, cfg = llava_setup
+    eng = MultiStreamEngine(params, cfg, ByteTokenizer(), n_streams=2,
+                            clip_size=2, max_len=512)
+    src = SyntheticSource(4, 112, 112)
+    eng.ingest([[src[0], src[1]], [src[2]]])
+    eng.ingest([[src[2], src[3]], []])
+    eng.block()
+    assert list(np.asarray(eng.states.n_frames)) == [4, 1]

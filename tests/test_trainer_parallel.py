@@ -1,0 +1,105 @@
+"""Sharded training tests on the virtual 8-device CPU mesh (dp x tp)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_vstream_tpu.core.config import LLMConfig
+from flash_vstream_tpu.models.llm import (
+    cross_entropy_loss,
+    decoder_forward,
+    embed_tokens,
+    init_llm_params,
+    lm_head,
+)
+from flash_vstream_tpu.parallel.sharding import (
+    create_mesh,
+    param_shardings,
+    zero_shardings,
+)
+from flash_vstream_tpu.train.lora import init_lora_params, merge_lora
+from flash_vstream_tpu.train.trainer import TrainConfig, Trainer
+
+CFG = LLMConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                num_layers=2, num_heads=4, num_kv_heads=2)
+
+
+def lm_loss(params, batch, key):
+    ids, labels = batch["ids"], batch["labels"]
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+    h, _ = decoder_forward(params, CFG, embed_tokens(params, ids), pos)
+    return cross_entropy_loss(lm_head(params, CFG, h), labels)
+
+
+def make_batch(rng, accum, bsz, seq):
+    ids = rng.integers(0, 128, size=(accum, bsz, seq))
+    return {"ids": jnp.asarray(ids), "labels": jnp.asarray(ids)}
+
+
+def test_mesh_shapes():
+    mesh = create_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_param_shardings_cover_tp():
+    mesh = create_mesh(dp=4, tp=2)
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    sh = param_shardings(mesh, params)
+    # qkv sharded over tp on the output dim
+    assert sh["layers"]["attn"]["wq"]["w"].spec == jax.sharding.PartitionSpec(None, None, "tp")
+    assert sh["layers"]["mlp"]["down"]["w"].spec == jax.sharding.PartitionSpec(None, "tp", None)
+    assert sh["embed"].spec == jax.sharding.PartitionSpec("tp", None)
+    assert sh["final_norm"].spec == jax.sharding.PartitionSpec()
+
+
+def test_zero_shardings_use_dp():
+    mesh = create_mesh(dp=4, tp=2)
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    zs = zero_shardings(mesh, params)
+    spec = zs["layers"]["mlp"]["gate"]["w"].spec
+    assert "dp" in spec and "tp" in spec
+
+
+def test_training_loss_decreases(rng):
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    cfg = TrainConfig(learning_rate=1e-2, total_steps=20, grad_accum=2,
+                      warmup_ratio=0.0)
+    tr = Trainer(lm_loss, params, cfg, mesh=create_mesh(dp=4, tp=2))
+    batch = make_batch(rng, 2, 4, 16)   # memorize one batch
+    losses = [tr.run_step(batch, jax.random.PRNGKey(i)) for i in range(15)]
+    assert losses[-1] < losses[0] * 0.8, losses
+    # optimizer moments are actually dp-sharded
+    mu = tr.opt_state.inner_states["train"].inner_state[1][0].mu
+    spec = mu["layers"]["mlp"]["gate"]["w"].sharding.spec
+    assert "dp" in spec
+
+
+def test_frozen_params_unchanged(rng):
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    cfg = TrainConfig(learning_rate=1e-2, total_steps=10,
+                      trainable=(r"^lm_head$",), warmup_ratio=0.0)
+    tr = Trainer(lm_loss, params, cfg, mesh=create_mesh(dp=8, tp=1),
+                 donate_params=False)
+    before = np.asarray(params["embed"])
+    head_before = np.asarray(params["lm_head"])
+    for i in range(2):   # step 0 is lr-warmup (lr=0)
+        tr.run_step(make_batch(rng, 1, 4, 16), jax.random.PRNGKey(i))
+    np.testing.assert_array_equal(np.asarray(tr.params["embed"]), before)
+    assert not np.allclose(np.asarray(tr.params["lm_head"]), head_before)
+
+
+def test_lora_training(rng):
+    base = init_llm_params(jax.random.PRNGKey(0), CFG)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
+    assert "layers/attn/wq/w" in lora
+
+    def loss(lora_params, batch, key):
+        eff = merge_lora(base, lora_params, alpha=8, rank=4)
+        return lm_loss(eff, batch, key)
+
+    cfg = TrainConfig(learning_rate=1e-2, total_steps=20, warmup_ratio=0.0)
+    tr = Trainer(loss, lora, cfg, mesh=create_mesh(dp=8, tp=1))
+    batch = make_batch(rng, 1, 4, 16)
+    losses = [tr.run_step(batch, jax.random.PRNGKey(i)) for i in range(10)]
+    assert losses[-1] < losses[0]
+    # b starts at zero and moves
+    assert float(jnp.abs(tr.params["layers/attn/wq/w"]["b"]).max()) > 0
