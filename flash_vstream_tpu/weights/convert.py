@@ -1,0 +1,264 @@
+"""HF checkpoint -> JAX param tree conversion.
+
+Replaces the reference's load_pretrained_model / from_pretrained loading
+(Flash-VStream-LLaVA/flash_vstream/model/builder.py:29-139,
+Flash-VStream-Qwen/inference_mcq_vqa.py:144-174) with direct
+state-dict-to-pytree mapping. Sources:
+- a directory of .safetensors shards (load_safetensors_dir), or
+- an in-memory {name: ndarray} state dict (testing / HF-torch parity).
+
+Layer-stacked trees (models/llm.py et al.) are built by stacking per-layer
+weights along axis 0. Linear weights transpose from torch [out, in] to
+JAX [in, out]; conv patch embeddings flatten to a single matmul kernel.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.config import LLMConfig, VitConfig
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors shard in a directory into one state dict."""
+    from safetensors.numpy import load_file
+    sd: Dict[str, np.ndarray] = {}
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".safetensors"):
+            sd.update(load_file(os.path.join(path, name)))
+    if not sd:
+        raise FileNotFoundError(f"no .safetensors shards under {path}")
+    return sd
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x).T
+
+
+def detect_prefix(sd: Dict[str, np.ndarray], probe: str, candidates) -> str:
+    """Checkpoint layouts differ across transformers versions (e.g. 'visual.'
+    vs 'model.visual.', 'model.' vs 'model.language_model.'); pick the prefix
+    whose probe key exists."""
+    for c in candidates:
+        if c + probe in sd:
+            return c
+    raise KeyError(f"none of {candidates} + {probe} found in state dict")
+
+
+def _stack(sd, fmt, n, transform):
+    return jnp.asarray(np.stack([transform(sd[fmt.format(i=i)])
+                                 for i in range(n)]))
+
+
+def _lin(sd, fmt, n, bias: bool):
+    p = {"w": _stack(sd, fmt + ".weight", n, _t)}
+    if bias:
+        p["b"] = _stack(sd, fmt + ".bias", n, np.asarray)
+    return p
+
+
+def convert_llama(sd: Dict[str, np.ndarray], cfg: LLMConfig,
+                  prefix: Optional[str] = None, dtype=jnp.float32) -> dict:
+    """LlamaForCausalLM / Qwen2 decoder state dict -> models/llm.py tree.
+
+    Covers Vicuna-7B (no biases) and Qwen2-VL's language model
+    (attention_bias=True)."""
+    if prefix is None:
+        prefix = detect_prefix(sd, "embed_tokens.weight",
+                               ("model.", "model.language_model.",
+                                "language_model.", ""))
+    L = cfg.num_layers
+    lay = prefix + "layers.{i}."
+    params = {
+        "embed": jnp.asarray(sd[prefix + "embed_tokens.weight"]),
+        "layers": {
+            "attn_norm": _stack(sd, lay + "input_layernorm.weight", L, np.asarray),
+            "mlp_norm": _stack(sd, lay + "post_attention_layernorm.weight", L,
+                               np.asarray),
+            "attn": {
+                "wq": _lin(sd, lay + "self_attn.q_proj", L, cfg.attention_bias),
+                "wk": _lin(sd, lay + "self_attn.k_proj", L, cfg.attention_bias),
+                "wv": _lin(sd, lay + "self_attn.v_proj", L, cfg.attention_bias),
+                "wo": _lin(sd, lay + "self_attn.o_proj", L, False),
+            },
+            "mlp": {
+                "gate": _lin(sd, lay + "mlp.gate_proj", L, False),
+                "up": _lin(sd, lay + "mlp.up_proj", L, False),
+                "down": _lin(sd, lay + "mlp.down_proj", L, False),
+            },
+        },
+        "final_norm": jnp.asarray(sd[prefix + "norm.weight"]),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = jnp.asarray(_t(sd["lm_head.weight"]))
+    import jax
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+def convert_clip_vit(sd: Dict[str, np.ndarray], cfg: VitConfig,
+                     prefix: str = "vision_model.", dtype=jnp.float32) -> dict:
+    """HF CLIPVisionModel state dict -> models/clip_vit.py tree."""
+    L = cfg.num_layers
+    lay = prefix + "encoder.layers.{i}."
+
+    def ln(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", L, np.asarray),
+                "bias": _stack(sd, fmt + ".bias", L, np.asarray)}
+
+    patch_w = np.asarray(sd[prefix + "embeddings.patch_embedding.weight"])
+    # conv [D, C, ps, ps] -> matmul [C*ps*ps, D]
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T
+
+    # 'pre_layrnorm' is the (misspelled) HF attribute name
+    pre_key = prefix + ("pre_layrnorm" if prefix + "pre_layrnorm.weight" in sd
+                        else "pre_layernorm")
+    params = {
+        "patch_embed": {"w": jnp.asarray(patch_w)},
+        "class_embed": jnp.asarray(
+            sd[prefix + "embeddings.class_embedding"]).reshape(-1),
+        "pos_embed": jnp.asarray(
+            sd[prefix + "embeddings.position_embedding.weight"]),
+        "pre_ln": {"scale": jnp.asarray(sd[pre_key + ".weight"]),
+                   "bias": jnp.asarray(sd[pre_key + ".bias"])},
+        "layers": {
+            "ln1": ln(lay + "layer_norm1"),
+            "ln2": ln(lay + "layer_norm2"),
+            "attn": {
+                "wq": _lin(sd, lay + "self_attn.q_proj", L, True),
+                "wk": _lin(sd, lay + "self_attn.k_proj", L, True),
+                "wv": _lin(sd, lay + "self_attn.v_proj", L, True),
+                "wo": _lin(sd, lay + "self_attn.out_proj", L, True),
+            },
+            "mlp": {
+                "fc1": _lin(sd, lay + "mlp.fc1", L, True),
+                "fc2": _lin(sd, lay + "mlp.fc2", L, True),
+            },
+        },
+    }
+    import jax
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+def convert_qwen_vit(sd: Dict[str, np.ndarray], cfg: VitConfig,
+                     prefix: Optional[str] = None, dtype=jnp.float32) -> dict:
+    """HF Qwen2-VL vision tower state dict -> models/qwen2_vit.py tree.
+
+    The packed qkv Linear splits into separate q/k/v matrices."""
+    if prefix is None:
+        prefix = detect_prefix(sd, "patch_embed.proj.weight",
+                               ("visual.", "model.visual.", ""))
+    L = cfg.num_layers
+    D = cfg.hidden_size
+    lay = prefix + "blocks.{i}."
+
+    def ln(fmt, stacked=True):
+        if stacked:
+            return {"scale": _stack(sd, fmt + ".weight", L, np.asarray),
+                    "bias": _stack(sd, fmt + ".bias", L, np.asarray)}
+        return {"scale": jnp.asarray(sd[fmt + ".weight"]),
+                "bias": jnp.asarray(sd[fmt + ".bias"])}
+
+    def qkv_split(which: int):
+        def w(i):
+            m = np.asarray(sd[lay.format(i=i) + "attn.qkv.weight"])
+            return m[which * D:(which + 1) * D].T
+        def b(i):
+            v = np.asarray(sd[lay.format(i=i) + "attn.qkv.bias"])
+            return v[which * D:(which + 1) * D]
+        return {"w": jnp.asarray(np.stack([w(i) for i in range(L)])),
+                "b": jnp.asarray(np.stack([b(i) for i in range(L)]))}
+
+    patch_w = np.asarray(sd[prefix + "patch_embed.proj.weight"])
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T   # [C*tp*ps*ps, D]
+
+    params = {
+        "patch_embed": {"w": jnp.asarray(patch_w)},
+        "layers": {
+            "ln1": ln(lay + "norm1"),
+            "ln2": ln(lay + "norm2"),
+            "attn": {
+                "wq": qkv_split(0), "wk": qkv_split(1), "wv": qkv_split(2),
+                "wo": _lin(sd, lay + "attn.proj", L, True),
+            },
+            "mlp": {
+                "fc1": _lin(sd, lay + "mlp.fc1", L, True),
+                "fc2": _lin(sd, lay + "mlp.fc2", L, True),
+            },
+        },
+        "merger": {
+            "ln_q": ln(prefix + "merger.ln_q", stacked=False),
+            "fc1": {"w": jnp.asarray(_t(sd[prefix + "merger.mlp.0.weight"])),
+                    "b": jnp.asarray(sd[prefix + "merger.mlp.0.bias"])},
+            "fc2": {"w": jnp.asarray(_t(sd[prefix + "merger.mlp.2.weight"])),
+                    "b": jnp.asarray(sd[prefix + "merger.mlp.2.bias"])},
+        },
+    }
+    import jax
+    return jax.tree.map(lambda x: x.astype(dtype), params)
+
+
+def convert_ntm(sd: Dict[str, np.ndarray], prefix: str = "model.attention_model.",
+                dtype=jnp.float32):
+    """NeuralTuringMachine weights (vstream_arch.py:34-45) -> NTMParams."""
+    from ..ops.ntm import NTMParams
+    g = lambda k: jnp.asarray(sd[prefix + k]).astype(dtype)
+    return NTMParams(
+        wq=_t(g("q_proj.weight")), bq=g("q_proj.bias"),
+        wk=_t(g("k_proj.weight")), bk=g("k_proj.bias"),
+        wv=_t(g("v_proj.weight")), bv=g("v_proj.bias"),
+        wo=_t(g("out_proj.weight")), bo=g("out_proj.bias"),
+        ln_scale=g("out_ln.weight"), ln_bias=g("out_ln.bias"))
+
+
+def convert_projector(sd: Dict[str, np.ndarray],
+                      prefix: str = "model.mm_projector.",
+                      dtype=jnp.float32) -> dict:
+    """mm_projector Sequential (Linear[,GELU,Linear...]) -> projector tree."""
+    layers = []
+    i = 0
+    while f"{prefix}{i}.weight" in sd or (i == 0 and f"{prefix}weight" in sd):
+        if i == 0 and f"{prefix}weight" in sd:   # bare Linear
+            layers.append({"w": jnp.asarray(_t(sd[prefix + "weight"])).astype(dtype),
+                           "b": jnp.asarray(sd[prefix + "bias"]).astype(dtype)})
+            break
+        layers.append({"w": jnp.asarray(_t(sd[f"{prefix}{i}.weight"])).astype(dtype),
+                       "b": jnp.asarray(sd[f"{prefix}{i}.bias"]).astype(dtype)})
+        i += 2   # skip GELU modules
+    if not layers:
+        raise KeyError(f"no projector weights under {prefix}")
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# Full-model loaders
+# ---------------------------------------------------------------------------
+
+def load_llava_checkpoint(model_dir: str, cfg, dtype=jnp.float32) -> dict:
+    """Load a Flash-VStream-LLaVA HF checkpoint directory."""
+    sd = load_safetensors_dir(model_dir)
+    vit_sd = {k.split("vision_tower.", 1)[1]: v for k, v in sd.items()
+              if "vision_tower." in k}
+    if not vit_sd:
+        raise FileNotFoundError(
+            "no vision tower weights in checkpoint; load the CLIP tower "
+            "separately and pass via vit_dir")
+    return {
+        "vit": convert_clip_vit(vit_sd, cfg.vit, dtype=dtype),
+        "projector": convert_projector(sd, dtype=dtype),
+        "ntm": convert_ntm(sd, dtype=dtype),
+        "llm": convert_llama(sd, cfg.llm, dtype=dtype),
+    }
+
+
+def load_qwen_checkpoint(model_dir: str, cfg, dtype=jnp.float32) -> dict:
+    """Load a Flash-VStream-Qwen (or base Qwen2-VL) HF checkpoint directory."""
+    sd = load_safetensors_dir(model_dir)
+    return {
+        "vit": convert_qwen_vit(sd, cfg.vit, dtype=dtype),
+        "llm": convert_llama(sd, cfg.llm, dtype=dtype),
+    }
