@@ -1,0 +1,170 @@
+"""Batch inference worker: MCQ / open-ended video QA over a dataset chunk.
+
+CLI-compatible rebuild of Flash-VStream-Qwen/inference_mcq_vqa.py:
+- round-robin chunking (--num-chunks/--chunk-idx, reference L26-37),
+- resume from existing answer files (L203-208),
+- dataset-specific prompts incl. the MCQ "Best option: (" priming trick
+  (L320-321) and the open-ended prompt for rvs/actnet/nextoe (L229-232),
+- frame-dir sampling by fps / max_frames (L244-289),
+- per-sample try/except-continue (L362-364),
+- deterministic decode (top_k=1/do_sample=False -> greedy, L344-346).
+
+The model is a pipeline object with .answer(frames, question, gen=...) —
+QwenPipeline with converted weights in production, a tiny random-init pipeline
+in tests/dry runs (--dry-run).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+from typing import List, Optional
+
+MCQ_PROMPT = ("Select the best answer to the following multiple-choice "
+              "question based on the video. Respond with only the letter "
+              "(A, B, C, or D) of the correct option.")
+MCQ_SUB_PROMPT = ("Select the best answer to the following multiple-choice "
+                  "question based on the video and the subtitles. Respond "
+                  "with only the letter (A, B, C, or D) of the correct "
+                  "option.")
+OE_PROMPT = "Answer the following open-ended question based on the video. "
+OE_DATASETS = ("rvs_ego", "rvs_movie", "actnet", "nextoe", "videochatgpt")
+
+
+def get_chunk(lst: List, n: int, k: int) -> List:
+    """Round-robin chunking (inference_mcq_vqa.py:26-37)."""
+    return lst[k::n]
+
+
+def sample_frame_paths(video_dir: str, fps: Optional[float],
+                       max_frames: Optional[int],
+                       source_fps: float = 1.0) -> List[str]:
+    names = sorted(os.listdir(video_dir),
+                   key=lambda x: int(x.split("_")[-1].split(".")[0])
+                   if x.split("_")[-1].split(".")[0].isdigit() else 0)
+    paths = [os.path.join(video_dir, n) for n in names]
+    if fps is not None and fps < source_fps:
+        step = max(int(round(source_fps / fps)), 1)
+        paths = paths[::step]
+    if max_frames is not None and len(paths) > max_frames:
+        import numpy as np
+        idx = np.linspace(0, len(paths) - 1, max_frames).round().astype(int)
+        paths = [paths[i] for i in idx]
+    return paths
+
+
+def load_frames(paths: List[str]):
+    import numpy as np
+    from PIL import Image
+    return [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+
+
+def build_question(sample: dict, dataset: str) -> tuple:
+    q = sample.get("question") or sample.get("question1")
+    if dataset in OE_DATASETS:
+        return OE_PROMPT + q, False
+    return MCQ_PROMPT + q, True
+
+
+def run_inference(args, pipeline=None) -> str:
+    """Run one worker chunk; returns the answers file path."""
+    from ..runtime.generation import GenerationConfig
+
+    gt_questions = json.load(open(args.data_file))
+    gt_questions = get_chunk(gt_questions, args.num_chunks, args.chunk_idx)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    output_name = (f"{args.num_chunks}_{args.chunk_idx}"
+                   if args.num_chunks > 1 else args.output_name)
+    answers_file = os.path.join(args.output_dir, f"{output_name}.json")
+    if os.path.exists(answers_file):
+        with open(answers_file) as f:
+            done = {json.loads(row)["id"] for row in f if row.strip()}
+        gt_questions = [s for s in gt_questions if s["id"] not in done]
+
+    if pipeline is None:
+        pipeline = build_pipeline(args)
+
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           eos_token_ids=(pipeline.tokenizer.eos_token_id,))
+
+    with open(answers_file, "a") as ans_file:
+        for sample in gt_questions:
+            try:
+                question, is_mcq = build_question(sample, args.dataset)
+                video_path = os.path.join(args.video_dir, sample["video_id"])
+                if not os.path.exists(video_path):
+                    raise FileNotFoundError(video_path)
+                paths = sample_frame_paths(video_path, args.fps,
+                                           args.max_frames)
+                frames = load_frames(paths)
+                if is_mcq:
+                    question = question + "\nBest option: ("
+                pred = pipeline.answer(frames, question, gen=gen)
+                record = dict(sample)
+                record["pred"] = pred
+                ans_file.write(json.dumps(record) + "\n")
+                ans_file.flush()
+            except Exception as e:
+                print(f"[chunk {args.chunk_idx}] error on id="
+                      f"{sample.get('id')}: {e}")
+                continue
+    return answers_file
+
+
+def build_pipeline(args):
+    """Load the Qwen pipeline from a checkpoint dir, or a tiny random-init
+    pipeline for --dry-run."""
+    import jax
+    from ..runtime.pipeline import QwenPipeline
+
+    if args.dry_run:
+        from ..core.config import tiny_qwen_config
+        from ..models.vstream_qwen import init_qwen_params
+        from ..preprocess.qwen_processor import make_byte_qwen_tokenizer
+        cfg = tiny_qwen_config()
+        params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+        return QwenPipeline(params, cfg, make_byte_qwen_tokenizer(),
+                            max_len=2048, max_pixels=args.max_pixels)
+
+    from ..core.config import VStreamQwenConfig, FlashMemoryConfig
+    from ..preprocess.tokenizer import load_tokenizer
+    from ..weights.convert import load_qwen_checkpoint
+    import jax.numpy as jnp
+    cfg = VStreamQwenConfig()
+    if args.flash_memory_dict:
+        cfg = cfg.replace(flash_memory=FlashMemoryConfig.from_dict(
+            json.loads(args.flash_memory_dict)))
+    params = load_qwen_checkpoint(args.model_path, cfg, dtype=jnp.bfloat16)
+    tokenizer = load_tokenizer(args.model_path)
+    return QwenPipeline(params, cfg, tokenizer, max_pixels=args.max_pixels)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Flash-VStream TPU batch inference")
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--video-dir", type=str, required=True)
+    p.add_argument("--data-file", type=str, required=True)
+    p.add_argument("--output-dir", type=str, required=True)
+    p.add_argument("--output-name", type=str, default="pred")
+    p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--fps", type=float, default=None)
+    p.add_argument("--max-frames", type=int, default=240)
+    p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--flash-memory-dict", type=str, default=None)
+    p.add_argument("--dry-run", action="store_true",
+                   help="tiny random-init model (no checkpoint needed)")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    run_inference(args)
+
+
+if __name__ == "__main__":
+    main()

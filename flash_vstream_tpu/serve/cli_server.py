@@ -1,0 +1,182 @@
+"""Real-time streaming QA server (CLI).
+
+Single-process rebuild of the reference's 4-process servers
+(Flash-VStream-LLaVA/flash_vstream/serve/cli_video_stream.py,
+Flash-VStream-Qwen/cli_server_2gpu.py): a frame pacer drives clip ingestion
+at --fps * --play_speed; questions fire every --question_interval seconds (or
+interactively); latency metrics print at the end — same metric names as the
+reference (memory_latency_*, llm_latency*, conv_latency).
+
+The reference needed two GPUs (LLM on cuda:0, memory manager on cuda:1) and
+Manager.list shared memory; here ingest is an async-dispatched jit on the
+same chip and the memory state is device-resident, so one process and one
+chip suffice.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..preprocess.video import SyntheticSource, load_video
+from ..runtime.generation import GenerationConfig
+from ..runtime.metrics import MetricMeter, Timer
+from ..utils.logging import build_logger
+
+
+def build_session(args):
+    import jax
+    if args.model_family == "qwen":
+        from ..core.config import (FlashMemoryConfig, VStreamQwenConfig,
+                                   tiny_qwen_config)
+        from ..models.vstream_qwen import init_qwen_params
+        from ..preprocess.qwen_processor import make_byte_qwen_tokenizer
+        from ..runtime.streaming import QwenStreamSession
+        if args.dry_run:
+            cfg = tiny_qwen_config()
+            params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+            tokenizer = make_byte_qwen_tokenizer()
+            frame_hw = (56, 56)
+        else:
+            import jax.numpy as jnp
+            from ..preprocess.tokenizer import load_tokenizer
+            from ..weights.convert import load_qwen_checkpoint
+            cfg = VStreamQwenConfig()
+            if args.flash_memory_dict:
+                cfg = cfg.replace(flash_memory=FlashMemoryConfig.from_dict(
+                    json.loads(args.flash_memory_dict)))
+            params = load_qwen_checkpoint(args.model_path, cfg,
+                                          dtype=jnp.bfloat16)
+            tokenizer = load_tokenizer(args.model_path)
+            frame_hw = (args.frame_size, args.frame_size)
+        return QwenStreamSession(params, cfg, tokenizer, frame_hw=frame_hw,
+                                 clip_size=args.clip_size,
+                                 bank_size=args.video_max_frames)
+    else:
+        from ..core.config import VStreamLLaVAConfig, tiny_llava_config
+        from ..models.vstream_llava import init_llava_params
+        from ..preprocess.tokenizer import ByteTokenizer, load_tokenizer
+        from ..runtime.streaming import LLaVAStreamSession
+        if args.dry_run:
+            cfg = tiny_llava_config()
+            params = init_llava_params(jax.random.PRNGKey(0), cfg)
+            tokenizer = ByteTokenizer()
+        else:
+            import jax.numpy as jnp
+            from ..weights.convert import load_llava_checkpoint
+            cfg = VStreamLLaVAConfig()
+            params = load_llava_checkpoint(args.model_path, cfg,
+                                           dtype=jnp.bfloat16)
+            tokenizer = load_tokenizer(args.model_path)
+        return LLaVAStreamSession(params, cfg, tokenizer,
+                                  clip_size=args.clip_size)
+
+
+def run_server(args) -> dict:
+    logger = build_logger("cli_server", args.log_file)
+    session = build_session(args)
+
+    if args.video_file:
+        src = load_video(args.video_file, fps=args.fps,
+                         max_frames=args.video_max_frames)
+    else:
+        side = 56 if args.dry_run else args.frame_size
+        src = SyntheticSource(args.synthetic_frames, side, side, fps=args.fps)
+    logger.info(f"stream source: {len(src)} frames at {args.fps} fps "
+                f"(play_speed {args.play_speed})")
+
+    questions: List[str] = []
+    if args.questions_file:
+        questions = [l.strip() for l in open(args.questions_file)
+                     if l.strip()]
+    elif args.question:
+        questions = [args.question]
+
+    metrics = session.metrics
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           eos_token_ids=(session.tokenizer.eos_token_id,))
+    frame_interval = (1.0 / (args.fps * args.play_speed)
+                      if args.play_speed > 0 else 0.0)
+    next_q_time = args.question_interval
+    q_idx = 0
+    answers = []
+    start = time.perf_counter()
+
+    i = 0
+    while i < len(src):
+        clip = [src[j] for j in range(i, min(i + args.clip_size, len(src)))]
+        target = start + i * frame_interval
+        now = time.perf_counter()
+        if args.play_speed > 0 and now < target:
+            time.sleep(target - now)
+        with Timer(metrics, "memory_latency"):
+            session.ingest_frames(clip)
+            if args.sync_every_clip:
+                session.block_until_ingested()
+        i += len(clip)
+
+        elapsed = time.perf_counter() - start
+        if questions and elapsed >= next_q_time:
+            q = questions[q_idx % len(questions)]
+            q_idx += 1
+            next_q_time += args.question_interval
+            with Timer(metrics, "conv_latency"):
+                ans = session.answer(q, gen)
+            logger.info(f"[t={elapsed:.1f}s frames={i}] Q: {q}")
+            logger.info(f"A: {ans}")
+            answers.append({"t": elapsed, "frames": i, "question": q,
+                            "answer": ans})
+
+    session.block_until_ingested()
+    # final question after the stream ends
+    if questions:
+        q = questions[q_idx % len(questions)]
+        with Timer(metrics, "conv_latency"):
+            ans = session.answer(q, gen)
+        answers.append({"t": time.perf_counter() - start, "frames": i,
+                        "question": q, "answer": ans})
+
+    summary = {"frames_ingested": i, "answers": answers,
+               "metrics": metrics.as_dict()}
+    logger.info("metrics:\n" + metrics.summary())
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary
+
+
+def make_parser():
+    p = argparse.ArgumentParser(description="Flash-VStream TPU streaming server")
+    p.add_argument("--model-family", choices=["llava", "qwen"], default="qwen")
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--video_file", type=str, default=None,
+                   help="video file or frame directory")
+    p.add_argument("--synthetic-frames", type=int, default=64,
+                   help="synthetic source length when no video given")
+    p.add_argument("--fps", type=float, default=1.0)
+    p.add_argument("--play_speed", type=float, default=1.0,
+                   help="0 = ingest as fast as possible")
+    p.add_argument("--video_max_frames", type=int, default=1200)
+    p.add_argument("--clip-size", type=int, default=2)
+    p.add_argument("--frame-size", type=int, default=224)
+    p.add_argument("--question", type=str, default=None)
+    p.add_argument("--questions-file", type=str, default=None)
+    p.add_argument("--question_interval", type=float, default=10.0)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--flash-memory-dict", type=str, default=None)
+    p.add_argument("--log_file", type=str, default=None)
+    p.add_argument("--output-file", type=str, default=None)
+    p.add_argument("--sync-every-clip", action="store_true")
+    p.add_argument("--dry-run", action="store_true")
+    return p
+
+
+def main(argv=None):
+    run_server(make_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Eval harness tests: fake dataset -> chunked inference -> scoring, resume."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flash_vstream_tpu.eval import eval_any_dataset
+from flash_vstream_tpu.eval.scoring import ScoreMeter, calc_mcq_result, extract_answer
+
+
+def make_fake_dataset(root, n_videos=2, n_q=4, n_frames=4):
+    frame_dir = os.path.join(root, "mvbench", "frames")
+    rng = np.random.default_rng(0)
+    for v in range(n_videos):
+        d = os.path.join(frame_dir, f"vid{v}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_frames):
+            img = rng.integers(0, 255, size=(56, 56, 3), dtype=np.uint8)
+            Image.fromarray(img).save(os.path.join(d, f"frame_{i:06d}.jpg"))
+    qa = [{"id": f"{i}", "video_id": f"vid{i % n_videos}",
+           "question": f"Q{i}?\nA. one\nB. two\nC. three\nD. four",
+           "answer": i % 4, "a_type": "action"} for i in range(n_q)]
+    qa_file = os.path.join(root, "mvbench", "test_qa.json")
+    with open(qa_file, "w") as f:
+        json.dump(qa, f)
+    return frame_dir, qa_file
+
+
+def test_extract_answer():
+    assert extract_answer("B") == 1
+    assert extract_answer("The answer is (C).") == 2
+    assert extract_answer("A. one") == 0
+    assert extract_answer("no letter here!") in range(5)  # random fallback
+
+
+def test_score_meter():
+    m = ScoreMeter()
+    m.add_score(1.0, "yes")
+    m.add_score(0.0, "no")
+    m.add_score(1.0, "yes")
+    assert m.get_accuracy("yes") == f"{2/3*100:.6f}"
+    assert m.get_average_score() == f"{2/3*100:.6f}"
+
+
+def test_eval_any_dataset_dry_run(tmp_path):
+    root = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    make_fake_dataset(root)
+    eval_any_dataset.main([
+        "--dataset", "mvbench", "--data-root", root, "--output-dir", out,
+        "--dry-run", "--max-frames", "4",
+    ])
+    preds = [json.loads(l) for l in open(os.path.join(out, "pred.json"))]
+    assert len(preds) == 4
+    assert all("pred" in p for p in preds)
+    result = json.load(open(os.path.join(out, "result.json")))
+    assert len(result) == 4
+    assert os.path.exists(os.path.join(out, "result.csv"))
+
+
+def test_eval_resume(tmp_path):
+    """Already-answered ids are skipped on restart (reference L203-208)."""
+    root = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    make_fake_dataset(root)
+    os.makedirs(out, exist_ok=True)
+    # pre-seed two answers
+    with open(os.path.join(out, "pred.json"), "w") as f:
+        f.write(json.dumps({"id": "0", "video_id": "vid0", "answer": 0,
+                            "pred": "A", "question": "Q0?"}) + "\n")
+        f.write(json.dumps({"id": "1", "video_id": "vid1", "answer": 1,
+                            "pred": "B", "question": "Q1?"}) + "\n")
+    eval_any_dataset.main([
+        "--dataset", "mvbench", "--data-root", root, "--output-dir", out,
+        "--dry-run", "--max-frames", "4",
+    ])
+    preds = [json.loads(l) for l in open(os.path.join(out, "pred.json"))]
+    assert len(preds) == 4
+    assert preds[0]["pred"] == "A" and preds[1]["pred"] == "B"  # kept
+
+
+def test_mcq_scoring_accuracy(tmp_path):
+    out = str(tmp_path)
+    qa_file = os.path.join(out, "qa.json")
+    with open(qa_file, "w") as f:
+        json.dump([], f)
+    with open(os.path.join(out, "pred.json"), "w") as f:
+        for i, (pred, ans) in enumerate([("A", 0), ("B", 0), ("C", 2), ("D", 3)]):
+            f.write(json.dumps({"id": str(i), "pred": pred, "answer": ans,
+                                "a_type": "x"}) + "\n")
+    csv_dic = calc_mcq_result(out, 1, qa_file)
+    assert csv_dic["acc"] == "75.000000"
+
+
+def test_unknown_dataset_errors(tmp_path):
+    with pytest.raises(SystemExit):
+        eval_any_dataset.main(["--dataset", "nope",
+                               "--output-dir", str(tmp_path)])
