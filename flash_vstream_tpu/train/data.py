@@ -1,0 +1,298 @@
+"""Supervised training data pipeline.
+
+Rebuild of the reference's dataset/collator stack
+(Flash-VStream-LLaVA/flash_vstream/train/train.py:428-853: preprocess_v1 /
+preprocess_plain, LazySupervisedDataset with precomputed-feature loading,
+DataCollatorForSupervisedDataset; vstream_trainer.py:56-148
+LengthGroupedSampler):
+
+- conversation json schema matches the reference ({id, video?, conversations:
+  [{from: human|gpt, value}]}).
+- video features load from .safetensors (key 'feature') or .npy; raw frame
+  dirs decode via preprocess/video.
+- TPU-first collation: every batch is padded to a (frame-bucket, pre-image
+  length, post-image length) triple so the spliced sequence is fixed-shape;
+  the image splice slot is the same for the whole batch (left-pad the
+  pre-image segment), which is what lets the whole train step live in one
+  pjit program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from ..preprocess.prompts import conv_templates
+from ..preprocess.tokenizer import tokenizer_image_token
+
+
+def preprocess_v1(conversations: List[dict], tokenizer,
+                  has_image: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Vicuna-v1 round tokenization with assistant-only supervision.
+
+    Mirrors preprocess_v1 (train.py:428-507): the prompt is the full
+    conversation; labels mask everything except assistant replies (IGNORE
+    elsewhere), with round boundaries located by the separators."""
+    conv = conv_templates["vicuna_v1"].copy()
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    src = conversations
+    if src and roles.get(src[0]["from"]) != conv.roles[0]:
+        src = src[1:]
+    for i, s in enumerate(src):
+        conv.append_message(roles[s["from"]], s["value"])
+    prompt = conv.get_prompt()
+
+    def tok(text):
+        if has_image:
+            return tokenizer_image_token(text, tokenizer).tolist()
+        return list(tokenizer.encode(text))
+
+    input_ids = np.asarray(tok(prompt), np.int64)
+    labels = np.full_like(input_ids, IGNORE_INDEX)
+
+    # supervise each assistant turn: find its text span by tokenizing the
+    # conversation prefix up to and including the turn
+    sep2 = conv.sep2
+    rounds = prompt.split(sep2)
+    cur = 0
+    for r in rounds:
+        if not r:
+            continue
+        full_round = r + sep2
+        parts = full_round.split(conv.roles[1] + ": ")
+        round_len = len(tok(full_round)) - 1          # strip per-chunk BOS
+        if len(parts) == 2:
+            instruction_len = len(tok(parts[0] + conv.roles[1] + ": ")) - 1
+            lo = cur + instruction_len
+            hi = cur + round_len
+            labels[lo:hi] = input_ids[lo:hi]
+        cur += round_len
+    return input_ids, labels
+
+
+def preprocess_plain(conversations: List[dict], tokenizer
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pretrain-style: '<image>\\ncaption' with only the caption supervised
+    (train.py:576-595)."""
+    assert len(conversations) == 2
+    caption = conversations[1]["value"]
+    prompt = "<image>" + caption + "\n"
+    input_ids = tokenizer_image_token(prompt, tokenizer)
+    labels = input_ids.copy()
+    # mask everything up to (and incl.) the image token
+    (img_pos,) = np.where(input_ids == IMAGE_TOKEN_INDEX)
+    labels[:img_pos[0] + 1] = IGNORE_INDEX
+    return input_ids, labels
+
+
+@dataclasses.dataclass
+class DataConfig:
+    data_path: str = ""
+    video_dir: str = ""
+    feature_dir: Optional[str] = None     # precomputed .safetensors features
+    video_max_frames: int = 50
+    conv_version: str = "v1"              # or "plain"
+    frame_bucket: int = 64
+    max_text_len: int = 512
+
+
+class SupervisedVideoDataset:
+    """Lazy dataset over conversation-json + videos/features
+    (LazySupervisedDataset analog, train.py:645-816)."""
+
+    def __init__(self, cfg: DataConfig, tokenizer, retries: int = 10,
+                 rng: Optional[random.Random] = None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.items = json.load(open(cfg.data_path))
+        self.retries = retries
+        self.rng = rng or random.Random(0)
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load_video_features(self, name: str) -> np.ndarray:
+        """[T, P, D] float features from safetensors/npy feature files."""
+        base = os.path.join(self.cfg.feature_dir, name)
+        for ext in (".safetensors", ".npy"):
+            p = base + ext if not base.endswith(ext) else base
+            if os.path.exists(p):
+                if p.endswith(".safetensors"):
+                    from safetensors.numpy import load_file
+                    d = load_file(p)
+                    key = "feature" if "feature" in d else next(iter(d))
+                    return d[key]
+                return np.load(p)
+        raise FileNotFoundError(base)
+
+    def _subsample(self, x: np.ndarray) -> np.ndarray:
+        T = x.shape[0]
+        m = self.cfg.video_max_frames
+        if T > m:
+            idx = np.linspace(0, T - 1, m).round().astype(int)
+            x = x[idx]
+        return x
+
+    def __getitem__(self, i: int) -> dict:
+        """Returns {'input_ids', 'labels', 'features' or 'frames', 'n_frames'}.
+        Corrupt items resample randomly (train.py:680-793)."""
+        for attempt in range(self.retries):
+            item = self.items[i]
+            try:
+                conv = item["conversations"]
+                if self.cfg.conv_version == "plain":
+                    ids, labels = preprocess_plain(conv, self.tokenizer)
+                else:
+                    ids, labels = preprocess_v1(conv, self.tokenizer,
+                                                has_image="video" in item
+                                                or "image" in item)
+                out = {"input_ids": ids, "labels": labels, "id": item.get("id", i)}
+                if "video" in item:
+                    if self.cfg.feature_dir:
+                        feats = self._load_video_features(item["video"])
+                        out["features"] = self._subsample(
+                            np.asarray(feats, np.float32))
+                        out["n_frames"] = out["features"].shape[0]
+                    else:
+                        from ..preprocess.video import load_video
+                        src = load_video(
+                            os.path.join(self.cfg.video_dir, item["video"]),
+                            max_frames=self.cfg.video_max_frames)
+                        out["frames"] = list(src)
+                        out["n_frames"] = len(out["frames"])
+                return out
+            except Exception as e:
+                if attempt == self.retries - 1:
+                    raise
+                i = self.rng.randrange(len(self.items))
+        raise RuntimeError("unreachable")
+
+    def modality_lengths(self) -> List[int]:
+        """Signed text lengths: positive for multimodal, negative for
+        text-only (LengthGroupedSampler input, vstream_trainer.py:117-148)."""
+        out = []
+        for item in self.items:
+            l = sum(len(c["value"].split()) for c in item["conversations"])
+            out.append(l if ("video" in item or "image" in item) else -l)
+        return out
+
+
+def length_grouped_indices(lengths: Sequence[int], batch_size: int,
+                           world_size: int, seed: int = 0) -> List[int]:
+    """Modality-grouped megabatch shuffling (vstream_trainer.py:56-114):
+    multimodal and text-only samples form separate megabatches, each sorted
+    by length, megabatches shuffled."""
+    rng = random.Random(seed)
+    mm = [i for i, l in enumerate(lengths) if l > 0]
+    lang = [i for i, l in enumerate(lengths) if l <= 0]
+    rng.shuffle(mm)
+    rng.shuffle(lang)
+    mega = world_size * batch_size
+
+    def make_megabatches(idx):
+        batches = [idx[i:i + mega] for i in range(0, len(idx), mega)]
+        return [sorted(b, key=lambda j: abs(lengths[j]), reverse=True)
+                for b in batches]
+
+    megabatches = make_megabatches(mm) + make_megabatches(lang)
+    rng.shuffle(megabatches)
+    return [i for b in megabatches for i in b]
+
+
+def collate_llava(samples: List[dict], frame_bucket: int, pad_id: int,
+                  max_text_len: int = 512,
+                  fixed_pre_len: Optional[int] = None,
+                  fixed_post_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Fixed-shape batch: splits each sequence at the image token, left-pads
+    the pre segment and right-pads the post segment so the splice slot is
+    batch-constant (pass fixed_pre/post_len to keep it constant across
+    batches and avoid re-jits). Returns arrays ready for llava_forward_train."""
+    pres, posts, lpres, lposts = [], [], [], []
+    for s in samples:
+        ids, labels = s["input_ids"], s["labels"]
+        (img_pos,) = np.where(ids == IMAGE_TOKEN_INDEX)
+        p = int(img_pos[0])
+        pres.append(ids[:p][-max_text_len:])
+        posts.append(ids[p + 1:][:max_text_len])
+        lpres.append(labels[:p][-max_text_len:])
+        lposts.append(labels[p + 1:][:max_text_len])
+    P = fixed_pre_len or max(len(x) for x in pres)
+    Q = fixed_post_len or max(len(x) for x in posts)
+    pres = [x[-P:] for x in pres]
+    posts = [x[:Q] for x in posts]
+    lpres = [x[-P:] for x in lpres]
+    lposts = [x[:Q] for x in lposts]
+    B = len(samples)
+
+    input_ids = np.full((B, P + 1 + Q), pad_id, np.int64)
+    seg = np.full((B, 0), 0)  # segment ids computed on the spliced layout
+    for b in range(B):
+        input_ids[b, P - len(pres[b]):P] = pres[b]
+        input_ids[b, P] = IMAGE_TOKEN_INDEX
+        input_ids[b, P + 1:P + 1 + len(posts[b])] = posts[b]
+
+    # features / frames
+    if "features" in samples[0]:
+        Pp, D = samples[0]["features"].shape[1:]
+        feats = np.zeros((B, frame_bucket, Pp, D), np.float32)
+        for b, s in enumerate(samples):
+            feats[b, :s["n_frames"]] = s["features"]
+        media = {"features": feats}
+    else:
+        shp = samples[0]["frames"][0].shape
+        frames = np.zeros((B, frame_bucket, *shp), np.uint8)
+        for b, s in enumerate(samples):
+            for t, f in enumerate(s["frames"][:frame_bucket]):
+                frames[b, t] = f
+        media = {"frames": frames}
+
+    n_frames = np.asarray([min(s["n_frames"], frame_bucket) for s in samples],
+                          np.int32)
+    return {
+        "input_ids": input_ids, "image_slot": P, "n_frames": n_frames,
+        "pre_lens": np.asarray([len(x) for x in pres], np.int32),
+        "labels_pre": _pad_left([l for l in lpres], P),
+        "labels_post": _pad_right([l for l in lposts], Q),
+        **media,
+    }
+
+
+def _pad_left(xs, n):
+    out = np.full((len(xs), n), IGNORE_INDEX, np.int64)
+    for i, x in enumerate(xs):
+        if len(x):
+            out[i, n - len(x):] = x
+    return out
+
+
+def _pad_right(xs, n):
+    out = np.full((len(xs), n), IGNORE_INDEX, np.int64)
+    for i, x in enumerate(xs):
+        if len(x):
+            out[i, :len(x)] = x
+    return out
+
+
+def spliced_labels(batch: Dict[str, np.ndarray], n_mem: int) -> np.ndarray:
+    """Labels aligned to the spliced embedding layout
+    [pre | n_mem memory tokens (IGNORE) | post]."""
+    B = batch["labels_pre"].shape[0]
+    mem = np.full((B, n_mem), IGNORE_INDEX, np.int64)
+    return np.concatenate([batch["labels_pre"], mem, batch["labels_post"]], 1)
+
+
+def spliced_segments(batch: Dict[str, np.ndarray], n_mem: int,
+                     pad_id: int) -> np.ndarray:
+    """Segment ids for the spliced layout: -1 at padding, 0 at real tokens."""
+    ids = batch["input_ids"]
+    P = batch["image_slot"]
+    B, S = ids.shape
+    pre_valid = np.zeros((B, P), np.int32) - (ids[:, :P] == pad_id)
+    post_valid = np.zeros((B, S - P - 1), np.int32) - (ids[:, P + 1:] == pad_id)
+    mem = np.zeros((B, n_mem), np.int32)
+    return np.concatenate([pre_valid, mem, post_valid], 1)

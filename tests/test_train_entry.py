@@ -1,0 +1,105 @@
+"""End-to-end training entry tests: synthetic data, loss decreases,
+checkpoint auto-resume, preprocessing/labels semantics."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from flash_vstream_tpu.core.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from flash_vstream_tpu.preprocess.tokenizer import ByteTokenizer
+from flash_vstream_tpu.train.data import (
+    collate_llava,
+    length_grouped_indices,
+    preprocess_plain,
+    preprocess_v1,
+)
+from flash_vstream_tpu.train.train import make_parser, run_training
+
+
+def test_preprocess_v1_masks_user_turns():
+    tok = ByteTokenizer()
+    conv = [
+        {"from": "human", "value": "<image>\nWhat is this?"},
+        {"from": "gpt", "value": "A cat."},
+        {"from": "human", "value": "And now?"},
+        {"from": "gpt", "value": "A dog."},
+    ]
+    ids, labels = preprocess_v1(conv, tok)
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 1
+    sup = labels != IGNORE_INDEX
+    assert sup.sum() > 0
+    # both answers supervised, question text not
+    text = tok.decode([t for t in labels[sup] if t >= 0])
+    assert "A cat." in text and "A dog." in text
+    assert "What is this?" not in text
+
+
+def test_preprocess_plain():
+    tok = ByteTokenizer()
+    conv = [{"from": "human", "value": "<image>"},
+            {"from": "gpt", "value": "a video of rain"}]
+    ids, labels = preprocess_plain(conv, tok)
+    sup = labels != IGNORE_INDEX
+    assert "a video of rain" in tok.decode([t for t in labels[sup] if t >= 0])
+
+
+def test_length_grouped_indices():
+    lengths = [10, -5, 20, -8, 15, -3]
+    idx = length_grouped_indices(lengths, batch_size=2, world_size=1, seed=0)
+    assert sorted(idx) == list(range(6))
+
+
+def test_collate_fixed_shape():
+    tok = ByteTokenizer()
+    samples = []
+    for i in range(2):
+        conv = [{"from": "human", "value": f"<image>\nQ{i}" + "x" * i * 5},
+                {"from": "gpt", "value": f"A{i}"}]
+        ids, labels = preprocess_v1(conv, tok)
+        samples.append({"input_ids": ids, "labels": labels,
+                        "features": np.zeros((3, 4, 8), np.float32),
+                        "n_frames": 3})
+    b = collate_llava(samples, frame_bucket=8, pad_id=tok.pad_token_id,
+                      fixed_pre_len=32, fixed_post_len=48)
+    assert b["input_ids"].shape == (2, 32 + 1 + 48)
+    assert b["image_slot"] == 32
+    assert (b["input_ids"][:, 32] == IMAGE_TOKEN_INDEX).all()
+    assert b["features"].shape == (2, 8, 4, 8)
+
+
+def test_train_dry_run_and_resume(tmp_path):
+    out = str(tmp_path / "run")
+    args = make_parser().parse_args([
+        "--dry-run", "--output-dir", out, "--stage", "finetune",
+        "--max-steps", "6", "--batch-size", "1", "--frame-bucket", "8",
+        "--pre-len", "24", "--post-len", "48", "--save-steps", "3",
+        "--learning-rate", "5e-3",
+    ])
+    res = run_training(args)
+    assert res["steps"] == 6
+    assert np.isfinite(res["final_loss"])
+    assert res["losses"][-1] < res["losses"][0]
+    assert os.path.isdir(os.path.join(out, "checkpoint-6"))
+
+    # resume: raising max-steps continues from step 6
+    args2 = make_parser().parse_args([
+        "--dry-run", "--output-dir", out, "--stage", "finetune",
+        "--max-steps", "8", "--batch-size", "1", "--frame-bucket", "8",
+        "--pre-len", "24", "--post-len", "48", "--save-steps", "100",
+        "--learning-rate", "5e-3",
+    ])
+    res2 = run_training(args2)
+    assert len(res2["losses"]) == 2   # steps 7 and 8 only
+    assert os.path.isdir(os.path.join(out, "checkpoint-8"))
+
+
+def test_train_pretrain_stage_freezes_llm(tmp_path):
+    out = str(tmp_path / "run")
+    args = make_parser().parse_args([
+        "--dry-run", "--output-dir", out, "--stage", "pretrain",
+        "--max-steps", "3", "--batch-size", "1", "--frame-bucket", "8",
+        "--pre-len", "16", "--post-len", "32", "--save-steps", "100",
+    ])
+    res = run_training(args)
+    assert np.isfinite(res["final_loss"])
