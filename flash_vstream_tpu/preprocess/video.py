@@ -61,11 +61,12 @@ class SyntheticSource(FrameSource):
 
 
 def load_frame_dir(path: str, fps: float = 1.0, source_fps: float = 1.0,
-                   max_frames: Optional[int] = None) -> FrameSource:
+                   max_frames: Optional[int] = None,
+                   resize_hw: Optional[tuple] = None) -> FrameSource:
     """Load a directory of extracted frames (sorted by name), subsampled from
     source_fps to fps. Mirrors the Qwen frame-dir pipeline
-    (inference_mcq_vqa.py:244-289)."""
-    from PIL import Image
+    (inference_mcq_vqa.py:244-289). JPEG decode goes through the native
+    library (fused decode+resize) when built; PIL otherwise."""
     names = sorted(n for n in os.listdir(path)
                    if n.lower().endswith((".jpg", ".jpeg", ".png")))
     step = max(int(round(source_fps / fps)), 1)
@@ -73,8 +74,20 @@ def load_frame_dir(path: str, fps: float = 1.0, source_fps: float = 1.0,
     if max_frames is not None and len(names) > max_frames:
         idx = np.linspace(0, len(names) - 1, max_frames).round().astype(int)
         names = [names[i] for i in idx]
-    frames = [np.asarray(Image.open(os.path.join(path, n)).convert("RGB"))
-              for n in names]
+    paths = [os.path.join(path, n) for n in names]
+
+    from ..native import io as vio
+    if resize_hw is not None:
+        frames = list(vio.decode_batch(paths, *resize_hw)) if paths else []
+    elif vio.native_available() and paths and paths[0].lower().endswith(
+            (".jpg", ".jpeg")):
+        from PIL import Image
+        with Image.open(paths[0]) as im:
+            w, h = im.size
+        frames = list(vio.decode_batch(paths, h, w))
+    else:
+        from PIL import Image
+        frames = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
     return FrameSource(frames, fps)
 
 
