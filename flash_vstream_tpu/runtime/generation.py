@@ -34,7 +34,14 @@ def _sample(logits: jnp.ndarray, temperature: float, key) -> jnp.ndarray:
 
 
 class Generator:
-    """Caches the jitted prefill/decode functions for one (params, cfg)."""
+    """Caches the jitted prefill/decode functions for one (params, cfg).
+
+    Two decode paths:
+    - compiled (default): the whole greedy loop is ONE jit — a
+      lax.while_loop over decode steps with EOS early exit, so a full answer
+      costs two device dispatches (prefill + loop) instead of one per token.
+    - stepwise: one jit per token, for incremental text streaming.
+    """
 
     def __init__(self, params: dict, cfg: LLMConfig, max_len: int = 4096,
                  cache_dtype=jnp.bfloat16):
@@ -60,8 +67,38 @@ class Generator:
             h, cache = decoder_forward(params, cfg, emb, pos, cache=cache)
             return lm_head(params, cfg, h)[:, -1], cache
 
+        def decode_loop(params, first_tok, pos_start, cache, max_new,
+                        eos_ids):
+            B = first_tok.shape[0]
+            out = jnp.zeros((B, max_new), jnp.int32)
+
+            def is_eos(tok):
+                if eos_ids.shape[0] == 0:
+                    return jnp.zeros(tok.shape, bool)
+                return jnp.any(tok[:, None] == eos_ids[None, :], axis=1)
+
+            def cond(state):
+                i, tok, cache, out, done = state
+                return (i < max_new) & ~jnp.all(done)
+
+            def body(state):
+                i, tok, cache, out, done = state
+                out = out.at[:, i].set(tok)
+                done = done | is_eos(tok)
+                logits, cache = step(params, tok, pos_start + i, cache)
+                ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ntok = jnp.where(done, tok, ntok)
+                return (i + 1, ntok, cache, out, done)
+
+            state = (jnp.int32(0), first_tok.astype(jnp.int32), cache, out,
+                     jnp.zeros((B,), bool))
+            n, _, cache, out, _ = jax.lax.while_loop(cond, body, state)
+            return out, n, cache
+
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
         self._step = jax.jit(step, donate_argnums=(3,))
+        self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
+                                    static_argnums=(4,))
 
     def new_cache(self, batch: int = 1) -> KVCache:
         return KVCache.create(self.cfg.num_layers, batch,
@@ -74,6 +111,7 @@ class Generator:
         positions: jnp.ndarray,              # [B, S] or [3, B, S]
         gen: GenerationConfig,
         decode_pos_start: Optional[int] = None,  # first decode position
+        stream: bool = False,                # stepwise decode (text streaming)
     ) -> List[int]:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
@@ -82,6 +120,21 @@ class Generator:
         logits, cache = self._prefill(self.params, embeds, positions, cache)
         if decode_pos_start is None:
             decode_pos_start = S
+
+        if gen.temperature <= 0.0 and not stream:
+            # fully compiled greedy loop: one dispatch for the whole answer
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            eos = jnp.asarray(list(gen.eos_token_ids), jnp.int32)
+            out, n, _ = self._decode_loop(self.params, first,
+                                          jnp.int32(decode_pos_start), cache,
+                                          gen.max_new_tokens, eos)
+            toks = np.asarray(out[0, :int(n)]).tolist()
+            # trim everything after the first EOS (inclusive)
+            for j, t in enumerate(toks):
+                if t in gen.eos_token_ids:
+                    return toks[:j + 1]
+            return toks
+
         key = jax.random.PRNGKey(gen.seed)
         out: List[int] = []
         tok = _sample(logits, gen.temperature, key)

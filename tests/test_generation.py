@@ -1,0 +1,46 @@
+"""Generation paths: compiled while-loop decode == stepwise decode; EOS stop."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_vstream_tpu.core.config import LLMConfig
+from flash_vstream_tpu.models.llm import init_llm_params
+from flash_vstream_tpu.runtime.generation import GenerationConfig, Generator
+
+CFG = LLMConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                num_layers=2, num_heads=4, num_kv_heads=2)
+
+
+def make_gen():
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    return Generator(params, CFG, max_len=64, cache_dtype=jnp.float32)
+
+
+def test_compiled_matches_stepwise(rng):
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 6, 32)).astype(np.float32))
+    pos = jnp.arange(6)[None]
+    cfg = GenerationConfig(max_new_tokens=10, eos_token_ids=())
+    compiled = g.generate(embeds, pos, cfg)
+    stepwise = g.generate(embeds, pos, cfg, stream=True)
+    assert compiled == stepwise
+
+
+def test_eos_stops_decode(rng):
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    pos = jnp.arange(4)[None]
+    # find which token greedy produces first, then use it as EOS
+    first = g.generate(embeds, pos, GenerationConfig(max_new_tokens=1))[0]
+    out = g.generate(embeds, pos, GenerationConfig(max_new_tokens=10,
+                                                   eos_token_ids=(first,)))
+    assert out == [first]
+
+
+def test_max_new_tokens_bound(rng):
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    pos = jnp.arange(4)[None]
+    out = g.generate(embeds, pos, GenerationConfig(max_new_tokens=3,
+                                                   eos_token_ids=()))
+    assert len(out) == 3
