@@ -60,10 +60,14 @@ def load_frames(paths: List[str]):
     return [np.asarray(Image.open(p).convert("RGB")) for p in paths]
 
 
-def build_question(sample: dict, dataset: str) -> tuple:
+def build_question(sample: dict, dataset: str,
+                   subtitle: str = "") -> tuple:
     q = sample.get("question") or sample.get("question1")
     if dataset in OE_DATASETS:
         return OE_PROMPT + q, False
+    if "videommesub" in dataset and subtitle:
+        return ("This video's subtitles are listed below: \n" + subtitle
+                + "\n" + MCQ_SUB_PROMPT + q), True
     return MCQ_PROMPT + q, True
 
 
@@ -92,12 +96,22 @@ def run_inference(args, pipeline=None) -> str:
     with open(answers_file, "a") as ans_file:
         for sample in gt_questions:
             try:
-                question, is_mcq = build_question(sample, args.dataset)
                 video_path = os.path.join(args.video_dir, sample["video_id"])
                 if not os.path.exists(video_path):
                     raise FileNotFoundError(video_path)
                 paths = sample_frame_paths(video_path, args.fps,
                                            args.max_frames)
+                subtitle = ""
+                if "videommesub" in args.dataset and args.subtitle_dir:
+                    from .subtitles import get_subtitle
+                    idxs = [int(os.path.basename(p).split("_")[-1].split(".")[0])
+                            for p in paths
+                            if os.path.basename(p).split("_")[-1]
+                            .split(".")[0].isdigit()]
+                    subtitle = get_subtitle(args.subtitle_dir,
+                                            sample["video_id"], idxs)
+                question, is_mcq = build_question(sample, args.dataset,
+                                                  subtitle)
                 frames = load_frames(paths)
                 if is_mcq:
                     question = question + "\nBest option: ("
@@ -156,6 +170,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--flash-memory-dict", type=str, default=None)
+    p.add_argument("--subtitle-dir", type=str, default=None,
+                   help="directory of <video_id>.srt files (videommesub)")
     p.add_argument("--dry-run", action="store_true",
                    help="tiny random-init model (no checkpoint needed)")
     return p

@@ -118,8 +118,9 @@ def _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
                 jnp.int32, (block_q, block_kv), 1)
             mask = q_pos >= kv_pos
         if use_segments:
-            qseg = q_seg_ref[0]                       # [bq]
-            kseg = kv_seg_ref[0]                      # [bkv]
+            b = pl.program_id(0)
+            qseg = q_seg_ref[b]                       # [bq]
+            kseg = kv_seg_ref[b]                      # [bkv]
             seg_mask = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] >= 0)
             mask = seg_mask if mask is None else (mask & seg_mask)
         if mask is not None:
@@ -175,9 +176,11 @@ def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda b, h, i, j: (b, i),
+            # full batch dim (Pallas TPU blocks can't slice a batch of size
+            # B>1 on the sublane dim); the kernel indexes row program_id(0)
+            pl.BlockSpec((B, block_q), lambda b, h, i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv), lambda b, h, i, j: (b, j),
+            pl.BlockSpec((B, block_kv), lambda b, h, i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, D),
                          lambda b, h, i, j: (b, h, i, 0),

@@ -139,20 +139,30 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 class KVCache(NamedTuple):
     """Stacked per-layer KV cache. The decoder's scan-over-layers threads the
     per-layer [B, Hkv, Smax, D] slices through the scan body; `length` is the
-    filled prefix (shared across layers)."""
-    k: jnp.ndarray        # [L, B, Hkv, Smax, D]
-    v: jnp.ndarray        # [L, B, Hkv, Smax, D]
-    length: jnp.ndarray   # [] int32: filled prefix length
+    filled prefix (shared across layers). `segments` tracks per-position
+    segment ids (-1 = padding) so left-padded batched prompts mask correctly
+    during decode."""
+    k: jnp.ndarray         # [L, B, Hkv, Smax, D]
+    v: jnp.ndarray         # [L, B, Hkv, Smax, D]
+    length: jnp.ndarray    # [] int32: filled prefix length
+    segments: jnp.ndarray  # [B, Smax] int32; -1 = padding
 
     @classmethod
     def create(cls, num_layers: int, batch: int, num_kv_heads: int,
                max_len: int, head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                   jnp.zeros((), jnp.int32))
+                   jnp.zeros((), jnp.int32),
+                   jnp.full((batch, max_len), -1, jnp.int32))
 
     def advance(self, n) -> "KVCache":
         return self._replace(length=self.length + n)
+
+    def with_segments(self, seg: jnp.ndarray) -> "KVCache":
+        """Write segment ids for the S tokens being appended at `length`."""
+        new = jax.lax.dynamic_update_slice(
+            self.segments, seg.astype(jnp.int32), (0, self.length))
+        return self._replace(segments=new)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +191,7 @@ def mha(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [B,Hkv,Smax,D]
     cache_len: Optional[jnp.ndarray] = None,
+    cache_segments: Optional[jnp.ndarray] = None,   # [B, Smax] (-1 padding)
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Multi-head attention with optional GQA, RoPE and per-layer KV cache.
 
@@ -212,7 +223,12 @@ def mha(
                                   q_segment_ids=q_segment_ids,
                                   kv_segment_ids=kv_segment_ids)
         else:
-            out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len)
+            # batched decode with left-padded prompts: mask padded cache slots
+            q_seg = (jnp.zeros((B, S), jnp.int32)
+                     if cache_segments is not None else None)
+            out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len,
+                                  q_segment_ids=q_seg,
+                                  kv_segment_ids=cache_segments)
     else:
         out = flash_attention(q, k, v, causal=causal,
                               q_segment_ids=q_segment_ids,

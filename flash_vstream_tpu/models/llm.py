@@ -97,7 +97,7 @@ def decoder_forward(
     cos, sin = _rope_for(cfg, positions)
     x = input_embeds
 
-    def block(x, layer_params, kc, vc, cache_len):
+    def block(x, layer_params, kc, vc, cache_len, cache_segments):
         h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
         attn_out, new_kv = mha(
             layer_params["attn"], h,
@@ -105,7 +105,7 @@ def decoder_forward(
             head_dim=cfg.head_dim, rope=(cos, sin), causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
             kv_cache=None if kc is None else (kc, vc),
-            cache_len=cache_len)
+            cache_len=cache_len, cache_segments=cache_segments)
         x = x + attn_out
         h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
         x = x + swiglu_mlp(layer_params["mlp"], h)
@@ -116,19 +116,25 @@ def decoder_forward(
 
     if cache is None:
         def body(x, layer_params):
-            x, _ = block(x, layer_params, None, None, None)
+            x, _ = block(x, layer_params, None, None, None, None)
             return x, None
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
+        S = input_embeds.shape[1]
+        seg_new = (segment_ids if segment_ids is not None
+                   else jnp.zeros((input_embeds.shape[0], S), jnp.int32))
+        cache = cache.with_segments(seg_new)
+
         def body(carry, xs):
             x, cache_len = carry
             layer_params, kc, vc = xs
-            x, (nkc, nvc) = block(x, layer_params, kc, vc, cache_len)
+            x, (nkc, nvc) = block(x, layer_params, kc, vc, cache_len,
+                                  cache.segments)
             return (x, cache_len), (nkc, nvc)
         (x, _), (nk, nv) = jax.lax.scan(
             body, (x, cache.length), (params["layers"], cache.k, cache.v))
-        new_cache = cache._replace(k=nk, v=nv).advance(input_embeds.shape[1])
+        new_cache = cache._replace(k=nk, v=nv).advance(S)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, new_cache

@@ -51,19 +51,21 @@ class Generator:
         self.cache_dtype = cache_dtype
         mrope = cfg.mrope_sections is not None
 
-        def prefill(params, embeds, positions, cache):
+        def prefill(params, embeds, positions, cache, segment_ids=None):
             h, cache = decoder_forward(params, cfg, embeds, positions,
-                                       cache=cache)
+                                       segment_ids=segment_ids, cache=cache)
             return lm_head(params, cfg, h)[:, -1], cache
 
         def step(params, tok, pos_scalar, cache):
+            # pos_scalar: [] shared position or [B] per-row positions
             emb = embed_tokens(params, tok[:, None])
+            B = tok.shape[0]
+            pos_b = jnp.broadcast_to(jnp.asarray(pos_scalar).reshape(-1, 1),
+                                     (B, 1))
             if mrope:
-                pos = jnp.broadcast_to(pos_scalar.reshape(1, 1, 1),
-                                       (3, tok.shape[0], 1))
+                pos = jnp.broadcast_to(pos_b[None], (3, B, 1))
             else:
-                pos = jnp.broadcast_to(pos_scalar.reshape(1, 1),
-                                       (tok.shape[0], 1))
+                pos = pos_b
             h, cache = decoder_forward(params, cfg, emb, pos, cache=cache)
             return lm_head(params, cfg, h)[:, -1], cache
 
@@ -99,6 +101,36 @@ class Generator:
         self._step = jax.jit(step, donate_argnums=(3,))
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
                                     static_argnums=(4,))
+
+    def generate_batch(
+        self,
+        embeds: jnp.ndarray,            # [B, S, D] LEFT-padded prompts
+        positions: jnp.ndarray,         # [B, S] or [3, B, S]
+        segment_ids: jnp.ndarray,       # [B, S]; -1 at padding
+        gen: "GenerationConfig",
+        decode_pos_start: jnp.ndarray,  # [B] first decode position per row
+    ) -> List[List[int]]:
+        """Shared batched greedy decode for B concurrent prompts
+        (BASELINE config #5: one fused decode loop serves every stream)."""
+        B, S, _ = embeds.shape
+        cache = self.new_cache(B)
+        logits, cache = self._prefill(self.params, embeds, positions, cache,
+                                      segment_ids)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        eos = jnp.asarray(list(gen.eos_token_ids), jnp.int32)
+        out, n, _ = self._decode_loop(
+            self.params, first, jnp.asarray(decode_pos_start, jnp.int32),
+            cache, gen.max_new_tokens, eos)
+        outs = []
+        arr = np.asarray(out[:, :int(n)])
+        for b in range(B):
+            toks = arr[b].tolist()
+            for j, t in enumerate(toks):
+                if t in gen.eos_token_ids:
+                    toks = toks[:j + 1]
+                    break
+            outs.append(toks)
+        return outs
 
     def new_cache(self, batch: int = 1) -> KVCache:
         return KVCache.create(self.cfg.num_layers, batch,

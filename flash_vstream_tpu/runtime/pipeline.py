@@ -52,10 +52,42 @@ class LLaVAPipeline:
         self._consolidate = jax.jit(
             lambda params, feats, n, key: vstream_llava.consolidate(
                 params, cfg, feats, n, key))
+        from ..models.clip_vit import clip_encode
+        self._encode_full = jax.jit(
+            lambda params, imgs: clip_encode(params["vit"], cfg.vit, imgs))
 
     def encode_video(self, frames: Sequence[np.ndarray]) -> jnp.ndarray:
         imgs = clip_preprocess(frames, self.cfg.vit.image_size)
         return self._encode(self.params, jnp.asarray(imgs))
+
+    def answer_image(self, image: np.ndarray, question: str,
+                     gen: Optional[GenerationConfig] = None) -> str:
+        """Single-image QA: full 576-token patch features projected directly,
+        no memory consolidation (reference image path,
+        vstream_arch.py:333-336)."""
+        from ..models.llm import embed_tokens
+        from ..models.projector import project
+        imgs = clip_preprocess([image], self.cfg.vit.image_size)
+        feats = self._encode_full(self.params, jnp.asarray(imgs))[0]
+        proj = project(self.params["projector"], self.cfg.projector, feats)
+
+        conv = conv_templates[self.conv_template].copy()
+        conv.append_message(conv.roles[0], "<image>\n" + question)
+        conv.append_message(conv.roles[1], None)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        (img_pos,) = np.where(input_ids == -200)
+        p = int(img_pos[0])
+        params = self.params
+        embeds = jnp.concatenate([
+            embed_tokens(params["llm"], jnp.asarray(input_ids[:p])[None]),
+            proj[None].astype(params["llm"]["embed"].dtype),
+            embed_tokens(params["llm"], jnp.asarray(input_ids[p + 1:])[None]),
+        ], axis=1)
+        positions = jnp.arange(embeds.shape[1])[None]
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        out_ids = self.generator.generate(embeds, positions, gen)
+        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0,

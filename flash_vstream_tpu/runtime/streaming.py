@@ -295,8 +295,7 @@ class MultiStreamEngine:
     def block(self):
         jax.block_until_ready(self.states.long)
 
-    def answer(self, stream_idx: int, question: str,
-               gen: Optional[GenerationConfig] = None) -> str:
+    def _prompt_embeds(self, stream_idx: int, question: str):
         state = jax.tree.map(lambda x: x[stream_idx], self.states)
         memory = star_memory_tokens(self.cfg.star, state)
         n_frames = int(state.n_frames)
@@ -304,10 +303,41 @@ class MultiStreamEngine:
         conv.append_message(conv.roles[0], "<image>\n" + question)
         conv.append_message(conv.roles[1], None)
         input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
-        embeds, positions = vstream_llava.build_multimodal_embeds(
+        return vstream_llava.build_multimodal_embeds(
             self.params, self.cfg, input_ids, memory, n_frames,
             streaming=True)
+
+    def answer(self, stream_idx: int, question: str,
+               gen: Optional[GenerationConfig] = None) -> str:
+        embeds, positions = self._prompt_embeds(stream_idx, question)
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
         out = self.generator.generate(embeds, positions, gen)
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+
+    def answer_all(self, questions: Sequence[str],
+                   gen: Optional[GenerationConfig] = None) -> List[str]:
+        """Shared batched decode across all streams (BASELINE config #5):
+        one prefill + one fused decode loop serves every stream's question."""
+        assert len(questions) == self.n_streams
+        per = [self._prompt_embeds(i, q) for i, q in enumerate(questions)]
+        S = max(e.shape[1] for e, _ in per)
+        D = per[0][0].shape[-1]
+        B = self.n_streams
+        embeds = jnp.zeros((B, S, D), per[0][0].dtype)
+        positions = jnp.zeros((B, S), jnp.int32)
+        segments = jnp.full((B, S), -1, jnp.int32)
+        starts = []
+        for b, (e, p) in enumerate(per):
+            n = e.shape[1]
+            embeds = embeds.at[b, S - n:].set(e[0])       # left-pad
+            positions = positions.at[b, S - n:].set(p[0])
+            segments = segments.at[b, S - n:].set(0)
+            starts.append(n)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        outs = self.generator.generate_batch(
+            embeds, positions, segments, gen,
+            jnp.asarray(starts, jnp.int32))
+        return [self.tokenizer.decode(o, skip_special_tokens=True).strip()
+                for o in outs]

@@ -117,3 +117,20 @@ def test_multi_stream_ragged_clips(llava_setup):
     eng.ingest([[src[2], src[3]], []])
     eng.block()
     assert list(np.asarray(eng.states.n_frames)) == [4, 1]
+
+
+def test_multi_stream_batched_answers(llava_setup):
+    """answer_all (shared batched decode) matches per-stream answer()."""
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    params, cfg = llava_setup
+    eng = MultiStreamEngine(params, cfg, ByteTokenizer(), n_streams=3,
+                            clip_size=2, max_len=512)
+    srcs = [SyntheticSource(6, 112, 112, seed=s) for s in range(3)]
+    for i in range(0, 6, 2):
+        eng.ingest([[s[i], s[i + 1]] for s in srcs])
+    eng.block()
+    gen = GenerationConfig(max_new_tokens=6, eos_token_ids=())
+    qs = ["What?", "Where is it?", "Describe the scene now."]
+    batched = eng.answer_all(qs, gen)
+    single = [eng.answer(i, q, gen) for i, q in enumerate(qs)]
+    assert batched == single
