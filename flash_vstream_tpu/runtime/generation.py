@@ -51,10 +51,17 @@ class Generator:
         self.cache_dtype = cache_dtype
         mrope = cfg.mrope_sections is not None
 
-        def prefill(params, embeds, positions, cache, segment_ids=None):
+        def prefill(params, embeds, positions, cache, segment_ids=None,
+                    last_idx=None):
             h, cache = decoder_forward(params, cfg, embeds, positions,
                                        segment_ids=segment_ids, cache=cache)
-            return lm_head(params, cfg, h)[:, -1], cache
+            logits = lm_head(params, cfg, h)
+            if last_idx is None:
+                return logits[:, -1], cache
+            # right-padded prompts: read logits at the last REAL position
+            idx = jnp.broadcast_to(jnp.asarray(last_idx).reshape(-1, 1, 1),
+                                   (logits.shape[0], 1, logits.shape[2]))
+            return jnp.take_along_axis(logits, idx, axis=1)[:, 0], cache
 
         def step(params, tok, pos_scalar, cache):
             # pos_scalar: [] shared position or [B] per-row positions
@@ -144,12 +151,15 @@ class Generator:
         gen: GenerationConfig,
         decode_pos_start: Optional[int] = None,  # first decode position
         stream: bool = False,                # stepwise decode (text streaming)
+        segment_ids: Optional[jnp.ndarray] = None,  # [B, S]; -1 = padding
+        last_real_idx=None,                  # logits position (right-padded)
     ) -> List[int]:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
         assert B == 1, "generation currently supports batch=1 per stream"
         cache = self.new_cache(B)
-        logits, cache = self._prefill(self.params, embeds, positions, cache)
+        logits, cache = self._prefill(self.params, embeds, positions, cache,
+                                      segment_ids, last_real_idx)
         if decode_pos_start is None:
             decode_pos_start = S
 

@@ -82,6 +82,25 @@ class LLaVAStreamSession:
         # donate the state so the update happens in-place in HBM; params are
         # jit arguments (closures would inline weights as HLO constants)
         self._ingest = jax.jit(ingest, donate_argnums=(1,))
+
+        def assemble(params, state, pre_ids, post_ids, n_mem):
+            """Snapshot -> prompt embeddings, entirely on device (one
+            dispatch instead of eager per-op round trips)."""
+            from ..models.llm import embed_tokens
+            from ..models.projector import project
+            from ..models.star_memory import star_memory_tokens
+            from ..models.vstream_llava import pack_memory_tokens
+            memory = star_memory_tokens(cfg.star, state)
+            packed = pack_memory_tokens(memory, n_mem)
+            proj = project(params["projector"], cfg.projector, packed)
+            dtype = params["llm"]["embed"].dtype
+            embeds = jnp.concatenate([
+                embed_tokens(params["llm"], pre_ids[None]),
+                proj[None].astype(dtype),
+                embed_tokens(params["llm"], post_ids[None]),
+            ], axis=1)
+            return embeds
+        self._assemble = jax.jit(assemble, static_argnums=(4,))
         self._step = 0
 
     def ingest_frames(self, frames: Sequence[np.ndarray]):
@@ -103,21 +122,39 @@ class LLaVAStreamSession:
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
+        from ..models.vstream_llava import star_valid_counts
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
-                memory = star_memory_tokens(self.cfg.star, self.state)
                 n_frames = int(self.state.n_frames)
+                n_mem = sum(star_valid_counts(self.cfg, n_frames,
+                                              streaming=True))
             conv = conv_templates[self.conv_template].copy()
             conv.append_message(conv.roles[0], "<image>\n" + question)
             conv.append_message(conv.roles[1], None)
             input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
-            embeds, positions = vstream_llava.build_multimodal_embeds(
-                self.params, self.cfg, input_ids, memory, n_frames,
-                streaming=True)
+            (img_pos,) = np.where(input_ids == -200)
+            p = int(img_pos[0])
+            pre, post = input_ids[:p], input_ids[p + 1:]
+            # bucket the question length to bound recompiles
+            q_real = len(post)
+            qb = -(-q_real // 32) * 32
+            pad_id = self.tokenizer.pad_token_id or 0
+            post_p = np.pad(post, (0, qb - q_real), constant_values=pad_id)
+
+            embeds = self._assemble(self.params, self.state,
+                                    jnp.asarray(pre), jnp.asarray(post_p),
+                                    n_mem)
+            S = embeds.shape[1]
+            real = p + n_mem + q_real
+            ar = np.arange(S)
+            positions = jnp.asarray(np.where(ar < real, ar, 0))[None]
+            seg = jnp.asarray(np.where(ar < real, 0, -1).astype(np.int32))[None]
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
-            out = self.generator.generate(embeds, positions, gen)
+            out = self.generator.generate(
+                embeds, positions, gen, decode_pos_start=real,
+                segment_ids=seg, last_real_idx=real - 1)
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
 
 
@@ -204,6 +241,48 @@ class QwenStreamSession:
     def block_until_ingested(self):
         jax.block_until_ready(self.state.tem_x)
 
+    def _assemble_fn(self, t_dam: int, t_csm: int, P: int, Qb: int):
+        """One jitted snapshot->prompt assembly per (memory size, prompt
+        bucket) — answers become assemble + prefill + decode-loop dispatches."""
+        key = (t_dam, t_csm, P, Qb)
+        if key in getattr(self, "_assemble_cache", {}):
+            return self._assemble_cache[key]
+        if not hasattr(self, "_assemble_cache"):
+            self._assemble_cache = {}
+        cfg = self.cfg
+        fm = cfg.flash_memory
+        gh, gw = self.grid_hw
+        n_dam_tok = t_dam * self.p_full // 4
+        n_csm_tok = t_csm * self.p_small // 4
+        n_vis = n_dam_tok + n_csm_tok
+
+        def assemble(params, spa_pos, tem_pos, video_embeds, pre_ids,
+                     post_ids, q_real):
+            from ..models.llm import embed_tokens
+            dam_embeds = video_embeds[:n_dam_tok]
+            csm_embeds = video_embeds[fm.dam_grid_len * self.p_full // 4:][:n_csm_tok]
+            vis = jnp.concatenate([dam_embeds, csm_embeds])
+            vis_pos = am_rope_visual_positions(
+                spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw), (gh // 2, gw // 2))
+            dtype = params["llm"]["embed"].dtype
+            embeds = jnp.concatenate([
+                embed_tokens(params["llm"], pre_ids[None]),
+                vis[None].astype(dtype),
+                embed_tokens(params["llm"], post_ids[None]),
+            ], axis=1)
+            # 3D rope positions with AM-RoPE visual block
+            pre_pos = jnp.broadcast_to(jnp.arange(P)[None], (3, P))
+            vpos = vis_pos + P
+            st = jnp.max(vpos) + 1
+            tail = st + jnp.broadcast_to(jnp.arange(Qb)[None], (3, Qb))
+            pos = jnp.concatenate([pre_pos, vpos, tail], axis=1)[:, None, :]
+            decode_start = st + q_real
+            return embeds, pos, decode_start
+
+        fn = jax.jit(assemble)
+        self._assemble_cache[key] = fn
+        return fn
+
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
         assert self._snapshot is not None, "no frames ingested yet"
@@ -214,31 +293,32 @@ class QwenStreamSession:
             fm = self.cfg.flash_memory
             t_dam = min(n_frames, fm.dam_grid_len)
             t_csm = min(n_frames, fm.csm_grid_len)
-            gh, gw = self.grid_hw
-            n_dam_tok = t_dam * self.p_full // 4
-            n_csm_tok = t_csm * self.p_small // 4
-            # slice the fixed-capacity snapshot to the live token count
-            dam_embeds = video_embeds[:t_dam * self.p_full // 4]
-            csm_full = video_embeds[fm.dam_grid_len * self.p_full // 4:]
-            csm_embeds = csm_full[:n_csm_tok]
-            embeds_vis = jnp.concatenate([dam_embeds, csm_embeds])
-            vis_pos = am_rope_visual_positions(
-                spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw),
-                (gh // 2, gw // 2))
+            n_vis = t_dam * self.p_full // 4 + t_csm * self.p_small // 4
 
             input_ids, span = build_video_prompt(
-                self.cfg, self.tokenizer, question,
-                n_video_tokens=n_dam_tok + n_csm_tok)
-            embeds = vstream_qwen.splice_video_embeds(
-                self.params, self.cfg, input_ids, embeds_vis)
-            positions, rope_delta = vstream_qwen.build_qwen_positions(
-                len(input_ids), span[0], span[1], vis_pos)
+                self.cfg, self.tokenizer, question, n_video_tokens=n_vis)
+            start, _ = span
+            pre = input_ids[:start]
+            post = input_ids[start + n_vis:]
+            q_real = len(post)
+            Qb = -(-q_real // 32) * 32
+            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+            post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
+
+            fn = self._assemble_fn(t_dam, t_csm, len(pre), Qb)
+            embeds, positions, decode_start = fn(
+                self.params, spa_pos, tem_pos, video_embeds,
+                jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
+            S = embeds.shape[1]
+            real = len(pre) + n_vis + q_real
+            seg = jnp.asarray(
+                np.where(np.arange(S) < real, 0, -1).astype(np.int32))[None]
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
             out = self.generator.generate(
-                embeds, positions, gen,
-                decode_pos_start=len(input_ids) + int(rope_delta))
+                embeds, positions, gen, decode_pos_start=decode_start,
+                segment_ids=seg, last_real_idx=real - 1)
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
 
 
