@@ -151,7 +151,7 @@ def _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
                   causal: bool, scale: float,
-                  block_q: int = 512, block_kv: int = 512):
+                  block_q: int = 512, block_kv: int = 1024):
     B, Hq, Sq, D = q.shape
     _, Hkv, Skv, _ = k.shape
     g = Hq // Hkv
@@ -272,7 +272,7 @@ def flash_attention(
 
     B, Hq, Sq, D = q.shape
     Skv = k.shape[2]
-    block_q, block_kv = 512, 512
+    block_q, block_kv = 512, 1024
 
     def pad_axis(x, axis, mult, value=0.0):
         pad = (-x.shape[axis]) % mult
