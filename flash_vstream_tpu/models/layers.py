@@ -51,8 +51,16 @@ ACTIVATIONS = {
 }
 
 
-def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    out = jnp.dot(x, w.astype(x.dtype))
+def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Matmul accepting either a plain weight or a weight-only int8
+    QuantWeight (weights/quantize.py): the int8 operand converts in the MXU
+    feed and the per-channel scale applies to the output, so HBM reads stay
+    int8."""
+    if hasattr(w, "q"):   # QuantWeight
+        out = jnp.dot(x, w.q.astype(x.dtype))
+        out = out * w.scale.astype(out.dtype)
+    else:
+        out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

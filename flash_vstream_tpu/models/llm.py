@@ -142,10 +142,11 @@ def decoder_forward(
 
 def lm_head(params: dict, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Logits in f32 (reference casts logits to float, vstream_qwen2vl_model.py:558)."""
+    from .layers import dense
     w = params.get("lm_head")
     if w is None:
         w = params["embed"].T
-    return jnp.dot(hidden, w.astype(hidden.dtype)).astype(jnp.float32)
+    return dense(hidden, w).astype(jnp.float32)
 
 
 def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
