@@ -97,6 +97,26 @@ def flash_consolidate(
         tem_x = sampled.reshape(t_csm, P_small, D)
         tem_weights = jnp.ones((t_csm,), jnp.float32)
         tem_ts = times[idx]
+    elif cfg.temporal_method in ("dbscan", "gmm"):
+        from ..ops.clustering_extra import dbscan_compress, gmm_compress
+        flat = small_x.reshape(t, P_small * D)
+        if cfg.temporal_method == "dbscan":
+            res = dbscan_compress(flat, t_csm)
+        else:
+            res = gmm_compress(flat, t_csm, pca_dim=cfg.temporal_pca_dim,
+                               key=key)
+        # empty slots fall back to the earliest frames (reference pads with
+        # img_feature[:pad], compress_functions.py:697-699)
+        slot = jnp.arange(t_csm)
+        fallback = flat[jnp.minimum(slot, t - 1)]
+        cents = jnp.where(res.valid[:, None], res.centroids, fallback)
+        tem_x = cents.reshape(t_csm, P_small, D)
+        onehot = (res.labels[:, None] == slot[None, :]).astype(jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        tsum = jnp.dot(onehot.T, times.astype(jnp.float32)[:, None])[:, 0]
+        tem_ts = jnp.where(counts > 0, tsum / jnp.maximum(counts, 1.0),
+                           slot.astype(jnp.float32))
+        tem_weights = jnp.maximum(counts, 1.0)
     else:
         raise NotImplementedError(
             f"temporal_method {cfg.temporal_method}")

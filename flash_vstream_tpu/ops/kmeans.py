@@ -86,6 +86,32 @@ def init_centroids(x: jnp.ndarray, k: int, valid: jnp.ndarray,
     return x[idx].astype(jnp.float32)
 
 
+def greedy_init_centroids(x: jnp.ndarray, k: int, valid: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Greedy farthest-point init (deterministic k-means++ variant): start at
+    the point farthest from the valid mean, then repeatedly take the point
+    farthest from all chosen centroids. Robust to the split-blob local optima
+    of random init."""
+    T = x.shape[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.sum(xf * valid[:, None], 0) / jnp.maximum(valid.sum(), 1)
+    d0 = jnp.sum((xf - mean) ** 2, axis=1)
+    first = jnp.argmax(jnp.where(valid, d0, -jnp.inf))
+    cents = jnp.zeros((k, x.shape[1]), jnp.float32).at[0].set(xf[first])
+    mind = jnp.where(valid, jnp.sum((xf - xf[first]) ** 2, 1), -jnp.inf)
+
+    def body(i, state):
+        cents, mind = state
+        nxt = jnp.argmax(mind)
+        cents = cents.at[i].set(xf[nxt])
+        d = jnp.sum((xf - xf[nxt]) ** 2, axis=1)
+        mind = jnp.minimum(mind, jnp.where(valid, d, -jnp.inf))
+        return cents, mind
+
+    cents, _ = jax.lax.fori_loop(1, k, body, (cents, mind))
+    return cents
+
+
 def weighted_kmeans(
     x: jnp.ndarray,
     k: int,

@@ -114,3 +114,17 @@ def test_stream_short_phase(rng):
                                rtol=1e-6)
     # short DAM: temporal passthrough of the single frame (dup padded)
     np.testing.assert_array_equal(np.asarray(out.spa_positions), [0, 0])
+
+
+def test_consolidate_dbscan_gmm_methods(rng):
+    import dataclasses
+    t = 10
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    for method in ("dbscan", "gmm", "sample"):
+        cfg = dataclasses.replace(CFG, temporal_method=method)
+        out = flash_consolidate(cfg, x, sx, key=jax.random.PRNGKey(0))
+        assert out.tem_x.shape == (4, P_SMALL, D)
+        assert np.isfinite(np.asarray(out.tem_x)).all()
+        ts = np.asarray(out.tem_positions)
+        assert np.all((ts >= 0) & (ts < t))
