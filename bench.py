@@ -59,11 +59,13 @@ def main():
         sess.ingest_frames(frames)
     sess.block_until_ingested()
 
-    t0 = time.perf_counter()
-    for _ in range(n_clips):
-        sess.ingest_frames(frames)
-    sess.block_until_ingested()
-    dt = time.perf_counter() - t0
+    from flash_vstream_tpu.runtime.metrics import ProfilerSession
+    with ProfilerSession(os.environ.get("BENCH_TRACE")):
+        t0 = time.perf_counter()
+        for _ in range(n_clips):
+            sess.ingest_frames(frames)
+        sess.block_until_ingested()
+        dt = time.perf_counter() - t0
 
     fps = n_clips * clip_size / dt
     baseline = 30.0

@@ -23,14 +23,28 @@ from ..models.llm import decoder_forward, embed_tokens, lm_head
 class GenerationConfig:
     max_new_tokens: int = 128
     temperature: float = 0.0       # 0 => greedy (reference: do_sample=False)
+    top_k: int = 0                 # 0 = disabled; reference MCQ uses top_k=1
+    top_p: float = 1.0
     eos_token_ids: Sequence[int] = ()
     seed: int = 0
 
 
-def _sample(logits: jnp.ndarray, temperature: float, key) -> jnp.ndarray:
-    if temperature <= 0.0:
+def _sample(logits: jnp.ndarray, gen: "GenerationConfig", key) -> jnp.ndarray:
+    if gen.temperature <= 0.0 or gen.top_k == 1:
         return jnp.argmax(logits, axis=-1)
-    return jax.random.categorical(key, logits / temperature, axis=-1)
+    logits = logits / gen.temperature
+    if gen.top_k > 1:
+        kth = jnp.sort(logits, axis=-1)[..., -gen.top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest prefix with cumulative mass >= top_p stays
+        cutoff_idx = jnp.sum(cum < gen.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 class Generator:
@@ -116,13 +130,14 @@ class Generator:
         segment_ids: jnp.ndarray,       # [B, S]; -1 at padding
         gen: "GenerationConfig",
         decode_pos_start: jnp.ndarray,  # [B] first decode position per row
+        last_real_idx=None,             # [B] last real position per row
     ) -> List[List[int]]:
         """Shared batched greedy decode for B concurrent prompts
         (BASELINE config #5: one fused decode loop serves every stream)."""
         B, S, _ = embeds.shape
         cache = self.new_cache(B)
         logits, cache = self._prefill(self.params, embeds, positions, cache,
-                                      segment_ids)
+                                      segment_ids, last_real_idx)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         eos = jnp.asarray(list(gen.eos_token_ids), jnp.int32)
         out, n, _ = self._decode_loop(
@@ -163,7 +178,7 @@ class Generator:
         if decode_pos_start is None:
             decode_pos_start = S
 
-        if gen.temperature <= 0.0 and not stream:
+        if (gen.temperature <= 0.0 or gen.top_k == 1) and not stream:
             # fully compiled greedy loop: one dispatch for the whole answer
             first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             eos = jnp.asarray(list(gen.eos_token_ids), jnp.int32)
@@ -179,7 +194,7 @@ class Generator:
 
         key = jax.random.PRNGKey(gen.seed)
         out: List[int] = []
-        tok = _sample(logits, gen.temperature, key)
+        tok = _sample(logits, gen, key)
         for i in range(gen.max_new_tokens):
             t = int(tok[0])
             out.append(t)
@@ -188,5 +203,5 @@ class Generator:
             key, sub = jax.random.split(key)
             logits, cache = self._step(self.params, tok,
                                        jnp.int32(decode_pos_start + i), cache)
-            tok = _sample(logits, gen.temperature, sub)
+            tok = _sample(logits, gen, sub)
         return out

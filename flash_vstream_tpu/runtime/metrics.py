@@ -69,3 +69,32 @@ class Timer:
     def __exit__(self, *exc):
         self.meter.update(self.name, time.perf_counter() - self.t0)
         return False
+
+
+class ProfilerSession:
+    """jax.profiler trace wrapper (SURVEY.md §5.1: MetricMeter + trace hooks).
+
+    Usage: with ProfilerSession("/tmp/trace"): ...  -> TensorBoard-loadable
+    trace of device compute, or a no-op when dir is falsy.
+    """
+
+    def __init__(self, trace_dir: Optional[str]):
+        self.trace_dir = trace_dir
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+            jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+        return False
+
+
+def annotate(name: str):
+    """Named trace region (jax.profiler.TraceAnnotation) for host-side spans."""
+    import jax
+    return jax.profiler.TraceAnnotation(name)

@@ -322,11 +322,149 @@ class QwenStreamSession:
         return self.tokenizer.decode(out, skip_special_tokens=True).strip()
 
 
+class QwenMultiStreamEngine:
+    """N concurrent Qwen-family streams: FlashStates stack on a leading axis,
+    the dual-res encode + Flash memory update runs vmapped (one launch for
+    all streams), and answer_all serves every stream's question through one
+    shared batched decode (BASELINE config #5, flagship family)."""
+
+    def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
+                 n_streams: int, frame_hw=(224, 224), clip_size: int = 2,
+                 bank_size: int = 256, max_len: int = 8192,
+                 max_pixels: int = 4 * 224 * 224):
+        self.n_streams = n_streams
+        self.sess = QwenStreamSession(params, cfg, tokenizer,
+                                      frame_hw=frame_hw, clip_size=clip_size,
+                                      bank_size=bank_size, max_len=max_len,
+                                      max_pixels=max_pixels)
+        one = self.sess.state
+        self.states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_streams, *x.shape)).copy(),
+            one)
+        ingest_one = self.sess._ingest.__wrapped__   # unjitted fn
+        self._vingest = jax.jit(
+            jax.vmap(ingest_one, in_axes=(None, 0, 0, 0, 0)),
+            donate_argnums=(1,))
+        self._snapshots = None
+        self._step = 0
+
+    def ingest(self, clips: Sequence[Sequence[np.ndarray]]):
+        """One clip per stream (ragged ok; empty clips are no-ops)."""
+        assert len(clips) == self.n_streams
+        sess = self.sess
+        nh, nw = sess.resize_hw
+        frames, ns = [], []
+        for clip in clips:
+            arr = []
+            for f in clip:
+                f = np.asarray(f)
+                if f.shape[:2] != (nh, nw):
+                    f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
+                                * 255.0, 0, 255).transpose(1, 2, 0)
+                arr.append(f.astype(np.uint8))
+            n = len(arr)
+            while len(arr) % 2 or len(arr) < sess.clip_size:
+                arr.append(arr[-1] if arr else
+                           np.zeros((nh, nw, 3), np.uint8))
+            frames.append(np.stack(arr[:sess.clip_size]))
+            ns.append(-(-n // 2) if n else 0)
+        keys = jax.random.split(jax.random.PRNGKey(self._step), self.n_streams)
+        self._step += 1
+        self.states, self._snapshots = self._vingest(
+            self.sess.params, self.states, jnp.asarray(np.stack(frames)),
+            jnp.asarray(ns, jnp.int32), keys)
+
+    def block(self):
+        jax.block_until_ready(self.states.tem_x)
+
+    def _one_state(self, i):
+        return jax.tree.map(lambda x: x[i], self.states)
+
+    def answer(self, stream_idx: int, question: str,
+               gen: Optional[GenerationConfig] = None) -> str:
+        sess = self.sess
+        sess.state = self._one_state(stream_idx)
+        sess._snapshot = jax.tree.map(lambda x: x[stream_idx],
+                                      self._snapshots)
+        return sess.answer(question, gen)
+
+    def answer_all(self, questions: Sequence[str],
+                   gen: Optional[GenerationConfig] = None) -> List[str]:
+        """All streams share one batched prefill + fused decode loop.
+
+        Every stream has the same memory capacity, so once saturated the
+        prompts share a shape; before saturation per-stream visual token
+        counts may differ and answers fall back to per-stream decode."""
+        sess = self.sess
+        counts = {int(self._one_state(i).n_frames)
+                  for i in range(self.n_streams)}
+        fm = sess.cfg.flash_memory
+        t_dams = {min(c, fm.dam_grid_len) for c in counts}
+        t_csms = {min(c, fm.csm_grid_len) for c in counts}
+        if len(t_dams) > 1 or len(t_csms) > 1:
+            return [self.answer(i, q, gen) for i, q in enumerate(questions)]
+
+        per = []
+        for i, q in enumerate(questions):
+            sess.state = self._one_state(i)
+            sess._snapshot = jax.tree.map(lambda x: x[i], self._snapshots)
+            per.append(self._prompt(q))
+        S = max(e.shape[1] for e, *_ in per)
+        B = self.n_streams
+        D = per[0][0].shape[-1]
+        embeds = jnp.zeros((B, S, D), per[0][0].dtype)
+        positions = jnp.zeros((3, B, S), jnp.int32)
+        segments = jnp.full((B, S), -1, jnp.int32)
+        starts, last_idx = [], []
+        for b, (e, p, dstart, real) in enumerate(per):
+            n = e.shape[1]
+            embeds = embeds.at[b, S - n:].set(e[0])
+            positions = positions.at[:, b, S - n:].set(p[:, 0])
+            seg_row = jnp.where(jnp.arange(n) < real, 0, -1)
+            segments = segments.at[b, S - n:].set(seg_row)
+            starts.append(dstart)
+            last_idx.append(S - n + real - 1)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(sess.tokenizer.eos_token_id,))
+        outs = sess.generator.generate_batch(
+            embeds, positions, segments, gen,
+            jnp.asarray(starts, jnp.int32),
+            last_real_idx=jnp.asarray(last_idx, jnp.int32))
+        return [sess.tokenizer.decode(o, skip_special_tokens=True).strip()
+                for o in outs]
+
+    def _prompt(self, question: str):
+        """(embeds, positions, decode_start, n_real) for the current
+        sess.state/_snapshot."""
+        sess = self.sess
+        spa_pos, tem_pos, video_embeds = sess._snapshot
+        n_frames = int(sess.state.n_frames)
+        fm = sess.cfg.flash_memory
+        t_dam = min(n_frames, fm.dam_grid_len)
+        t_csm = min(n_frames, fm.csm_grid_len)
+        n_vis = t_dam * sess.p_full // 4 + t_csm * sess.p_small // 4
+        input_ids, span = build_video_prompt(
+            sess.cfg, sess.tokenizer, question, n_video_tokens=n_vis)
+        start, _ = span
+        pre = input_ids[:start]
+        post = input_ids[start + n_vis:]
+        q_real = len(post)
+        Qb = -(-q_real // 32) * 32
+        pad_id = getattr(sess.tokenizer, "pad_token_id", 0) or 0
+        post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
+        fn = sess._assemble_fn(t_dam, t_csm, len(pre), Qb)
+        embeds, positions, decode_start = fn(
+            sess.params, spa_pos, tem_pos, video_embeds,
+            jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
+        real = len(pre) + n_vis + q_real
+        return embeds, positions, int(decode_start), real
+
+
 class MultiStreamEngine:
     """Batched ingest for N concurrent LLaVA-family streams: states stack on a
     leading axis, encode+consolidate runs vmapped (one launch for all
-    streams). Answers are per-stream (config #5's shared batched decode is a
-    planned optimization)."""
+    streams). answer_all serves every stream through one shared batched
+    decode."""
 
     def __init__(self, params: dict, cfg: VStreamLLaVAConfig, tokenizer,
                  n_streams: int, clip_size: int = 1, max_len: int = 4096):

@@ -44,3 +44,23 @@ def test_max_new_tokens_bound(rng):
     out = g.generate(embeds, pos, GenerationConfig(max_new_tokens=3,
                                                    eos_token_ids=()))
     assert len(out) == 3
+
+
+def test_topk_one_is_greedy(rng):
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    pos = jnp.arange(4)[None]
+    greedy = g.generate(embeds, pos, GenerationConfig(max_new_tokens=5))
+    topk1 = g.generate(embeds, pos, GenerationConfig(max_new_tokens=5,
+                                                     temperature=1.0, top_k=1))
+    assert greedy == topk1
+
+
+def test_sampling_respects_topk(rng):
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    pos = jnp.arange(4)[None]
+    # high temperature but top_k=2: tokens restricted to the 2 best per step
+    out = g.generate(embeds, pos, GenerationConfig(
+        max_new_tokens=6, temperature=5.0, top_k=2, seed=1))
+    assert len(out) == 6

@@ -134,3 +134,25 @@ def test_multi_stream_batched_answers(llava_setup):
     batched = eng.answer_all(qs, gen)
     single = [eng.answer(i, q, gen) for i, q in enumerate(qs)]
     assert batched == single
+
+
+def test_qwen_multi_stream_engine():
+    from flash_vstream_tpu.runtime.streaming import QwenMultiStreamEngine
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(1), cfg)
+    eng = QwenMultiStreamEngine(params, cfg, make_byte_qwen_tokenizer(),
+                                n_streams=3, frame_hw=(56, 56), clip_size=2,
+                                bank_size=16, max_len=512)
+    srcs = [SyntheticSource(12, 56, 56, seed=s) for s in range(3)]
+    for i in range(0, 12, 2):
+        eng.ingest([[s[i], s[i + 1]] for s in srcs])
+    eng.block()
+    assert list(np.asarray(eng.states.n_frames)) == [6, 6, 6]
+    # memories diverge across streams
+    tx = np.asarray(eng.states.tem_x)
+    assert not np.allclose(tx[0], tx[1])
+    gen = GenerationConfig(max_new_tokens=5, eos_token_ids=())
+    qs = ["What?", "Where?", "Which?"]
+    batched = eng.answer_all(qs, gen)
+    single = [eng.answer(i, q, gen) for i, q in enumerate(qs)]
+    assert batched == single
