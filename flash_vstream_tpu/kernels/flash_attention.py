@@ -149,28 +149,66 @@ def _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
                        (l > 0)[:, None]).astype(o_ref.dtype)
 
 
-def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
-                  causal: bool, scale: float,
-                  block_q: int = 512, block_kv: int = 1024):
+def _flash_kernel_stats(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
+                        o_ref, lse_ref, acc_ref, m_ref, l_ref, **kw):
+    """Forward that additionally writes logsumexp stats (for the fused
+    backward). lse layout: [B, H, Sq, 128] lane-replicated (TPU tiling)."""
+    _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref, **kw)
+    j = pl.program_id(3)
+
+    @pl.when(j == kw["num_kv_blocks"] - 1)
+    def _write_stats():
+        m = m_ref[:, 0]
+        l = l_ref[:, 0]
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse = jnp.where(l > 0, lse, -jnp.inf)
+        lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
+
+
+def _prep(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
     B, Hq, Sq, D = q.shape
-    _, Hkv, Skv, _ = k.shape
+    Hkv, Skv = k.shape[1], k.shape[2]
     g = Hq // Hkv
     block_q = min(block_q, Sq)
     block_kv = min(block_kv, Skv)
     assert Sq % block_q == 0 and Skv % block_kv == 0, (
         "sequence lengths must be padded to the block size "
         f"(Sq={Sq}, Skv={Skv}, block_q={block_q}, block_kv={block_kv})")
-    nq, nkv = Sq // block_q, Skv // block_kv
     use_segments = q_segment_ids is not None
     if not use_segments:
-        # dummy 1-wide segment inputs so the kernel signature is static
         q_segment_ids = jnp.zeros((B, Sq), jnp.int32)
         kv_segment_ids = jnp.zeros((B, Skv), jnp.int32)
+    return (B, Hq, Sq, D, Skv, g, block_q, block_kv, use_segments,
+            q_segment_ids, kv_segment_ids)
+
+
+def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
+                  causal: bool, scale: float,
+                  block_q: int = 512, block_kv: int = 1024,
+                  save_stats: bool = False):
+    (B, Hq, Sq, D, Skv, g, block_q, block_kv, use_segments,
+     q_segment_ids, kv_segment_ids) = _prep(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv)
+    nq, nkv = Sq // block_q, Skv // block_kv
 
     grid = (B, Hq, nq, nkv)
+    kern = _flash_kernel_stats if save_stats else _flash_kernel
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, use_segments=use_segments,
+        kern, scale=scale, causal=causal, use_segments=use_segments,
         block_q=block_q, block_kv=block_kv, num_kv_blocks=nkv)
+
+    out_specs = pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if save_stats:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, block_q, 128),
+                                  lambda b, h, i, j: (b, h, i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, Hq, Sq, 128), jnp.float32))
 
     return pl.pallas_call(
         kernel,
@@ -192,10 +230,8 @@ def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
                          lambda b, h, i, j, g=g: (b, h // g, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D),
-                               lambda b, h, i, j: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -209,7 +245,212 @@ def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
 
 
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP (fused fwd, XLA-recompute bwd)
+# Fused backward (FlashAttention-2 style: recompute p blockwise from lse)
+# ---------------------------------------------------------------------------
+
+def _bwd_masks(qi, j, block_q, block_kv, causal, use_segments,
+               q_seg_ref, kv_seg_ref, b):
+    mask = None
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0)
+        kv_pos = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1)
+        mask = q_pos >= kv_pos
+    if use_segments:
+        qseg = q_seg_ref[b]
+        kseg = kv_seg_ref[b]
+        seg = (qseg[:, None] == kseg[None, :]) & (kseg[None, :] >= 0)
+        mask = seg if mask is None else (mask & seg)
+    return mask
+
+
+def _flash_bwd_dq_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
+                         do_ref, lse_ref, dq_ref, acc_ref,
+                         *, scale, causal, use_segments, block_q, block_kv,
+                         num_kv_blocks):
+    j = pl.program_id(3)
+    qi = pl.program_id(2)
+    b = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    should_run = ((qi + 1) * block_q - 1 >= j * block_kv) if causal else True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        o = o_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, 0]                              # [bq]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask = _bwd_masks(qi, j, block_q, block_kv, causal, use_segments,
+                          q_seg_ref, kv_seg_ref, b)
+        finite = jnp.isfinite(lse)[:, None]
+        p = jnp.where(finite, jnp.exp(s - lse[:, None]), 0.0)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=1)                        # [bq]
+        ds = p * (dp - delta[:, None]) * scale
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
+                          do_ref, lse_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, scale, causal, use_segments, block_q, block_kv,
+                          num_q_blocks):
+    i = pl.program_id(3)     # q block (innermost)
+    kj = pl.program_id(2)    # kv block
+    b = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    should_run = ((i + 1) * block_q - 1 >= kj * block_kv) if causal else True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        o = o_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask = _bwd_masks(i, kj, block_q, block_kv, causal, use_segments,
+                          q_seg_ref, kv_seg_ref, b)
+        finite = jnp.isfinite(lse)[:, None]
+        p = jnp.where(finite, jnp.exp(s - lse[:, None]), 0.0)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [bkv, D]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=1)
+        ds = p * (dp - delta[:, None]) * scale
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [bkv, D]
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pallas_flash_bwd(q, k, v, o, do, lse, q_segment_ids, kv_segment_ids, *,
+                      causal: bool, scale: float,
+                      block_q: int = 512, block_kv: int = 512):
+    (B, Hq, Sq, D, Skv, g, block_q, block_kv, use_segments,
+     q_segment_ids, kv_segment_ids) = _prep(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv)
+    nq, nkv = Sq // block_q, Skv // block_kv
+
+    common_in = [
+        pl.BlockSpec((B, block_q), lambda b, h, i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, block_kv), lambda b, h, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def qspec(fn):
+        return pl.BlockSpec((1, 1, block_q, D), fn, memory_space=pltpu.VMEM)
+
+    def kvspec(fn):
+        return pl.BlockSpec((1, 1, block_kv, D), fn, memory_space=pltpu.VMEM)
+
+    # --- dq: grid (B, Hq, nq, nkv), kv innermost ---
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, causal=causal,
+                          use_segments=use_segments, block_q=block_q,
+                          block_kv=block_kv, num_kv_blocks=nkv),
+        grid=(B, Hq, nq, nkv),
+        in_specs=common_in + [
+            qspec(lambda b, h, i, j: (b, h, i, 0)),
+            kvspec(lambda b, h, i, j, g=g: (b, h // g, j, 0)),
+            kvspec(lambda b, h, i, j, g=g: (b, h // g, j, 0)),
+            qspec(lambda b, h, i, j: (b, h, i, 0)),             # o
+            qspec(lambda b, h, i, j: (b, h, i, 0)),             # do
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),              # lse
+        ],
+        out_specs=qspec(lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(q_segment_ids, kv_segment_ids, q, k, v, o, do, lse)
+
+    # --- dk/dv: grid (B, Hq, nkv, nq), q innermost; per-q-head outputs are
+    # reduced over the GQA group afterwards ---
+    q_in_kvgrid = lambda b, h, kj, i: (b, h, i, 0)
+    kv_in_kvgrid = lambda b, h, kj, i, g=g: (b, h // g, kj, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
+                          use_segments=use_segments, block_q=block_q,
+                          block_kv=block_kv, num_q_blocks=nq),
+        grid=(B, Hq, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((B, block_q), lambda b, h, kj, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block_kv), lambda b, h, kj, i: (0, kj),
+                         memory_space=pltpu.VMEM),
+            qspec(q_in_kvgrid),
+            kvspec(kv_in_kvgrid),
+            kvspec(kv_in_kvgrid),
+            qspec(q_in_kvgrid),                                  # o
+            qspec(q_in_kvgrid),                                  # do
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b, h, kj, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),               # lse
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, kj, i: (b, h, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, kj, i: (b, h, kj, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_kv, D), jnp.float32),
+                        pltpu.VMEM((block_kv, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(q_segment_ids, kv_segment_ids, q, k, v, o, do, lse)
+
+    Hkv = k.shape[1]
+    dk = dk.reshape(B, Hkv, g, Skv, D).sum(axis=2)
+    dv = dv.reshape(B, Hkv, g, Skv, D).sum(axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (fused fwd, fused blockwise bwd)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -220,17 +461,15 @@ def _flash_attention_core(q, k, v, q_segment_ids, kv_segment_ids,
 
 
 def _fwd(q, k, v, q_seg, kv_seg, causal, scale):
-    out = _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale)
-    return out, (q, k, v, q_seg, kv_seg)
+    out, lse = _pallas_flash(q, k, v, q_seg, kv_seg, causal=causal,
+                             scale=scale, save_stats=True)
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
 def _bwd(causal, scale, res, g):
-    q, k, v, q_seg, kv_seg = res
-    def ref(q, k, v):
-        return xla_attention(q, k, v, causal=causal, q_segment_ids=q_seg,
-                             kv_segment_ids=kv_seg, scale=scale)
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, q_seg, kv_seg, out, lse = res
+    dq, dk, dv = _pallas_flash_bwd(q, k, v, out, g.astype(q.dtype), lse,
+                                   q_seg, kv_seg, causal=causal, scale=scale)
     return dq, dk, dv, None, None
 
 
