@@ -98,3 +98,22 @@ def test_unknown_dataset_errors(tmp_path):
     with pytest.raises(SystemExit):
         eval_any_dataset.main(["--dataset", "nope",
                                "--output-dir", str(tmp_path)])
+
+
+def test_eval_chunked_subprocess(tmp_path):
+    """num_chunks > 1: workers run as subprocesses; results merge in scoring."""
+    import subprocess
+    root = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    make_fake_dataset(root, n_q=4)
+    eval_any_dataset.main([
+        "--dataset", "mvbench", "--data-root", root, "--output-dir", out,
+        "--dry-run", "--max-frames", "4", "--num-chunks", "2",
+    ])
+    import glob
+    files = sorted(glob.glob(os.path.join(out, "2_*.json")))
+    assert len(files) == 2
+    total = sum(1 for f in files for l in open(f) if l.strip())
+    assert total == 4
+    result = json.load(open(os.path.join(out, "result.json")))
+    assert len(result) == 4
