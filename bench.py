@@ -21,6 +21,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from flash_vstream_tpu.core.runtime_setup import enable_compilation_cache
+    enable_compilation_cache()
+
     from flash_vstream_tpu.core.config import (
         FlashMemoryConfig, LLMConfig, QWEN2_VL_VIT, VStreamQwenConfig)
     from flash_vstream_tpu.models.vstream_qwen import init_qwen_params

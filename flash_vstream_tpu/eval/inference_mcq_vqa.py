@@ -75,6 +75,9 @@ def run_inference(args, pipeline=None) -> str:
     """Run one worker chunk; returns the answers file path."""
     from ..runtime.generation import GenerationConfig
 
+    from ..core.runtime_setup import enable_compilation_cache
+    enable_compilation_cache()
+
     gt_questions = json.load(open(args.data_file))
     gt_questions = get_chunk(gt_questions, args.num_chunks, args.chunk_idx)
 

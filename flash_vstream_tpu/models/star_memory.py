@@ -70,7 +70,10 @@ def _compress_long(cfg: STARConfig, long_pooled, long_valid, n_long, key):
     elif cfg.compress_type == "drop":
         r = drop_frames(flat, n_long, L, key)
         clusters, weights = r.features.reshape(L, Pl, D), r.valid.astype(jnp.float32)
-    elif cfg.compress_type == "kmerge":
+    elif cfg.compress_type in ("kmerge", "uni_kmerge", "both_kmerge",
+                               "split_kmerge"):
+        # the reference maps all kmerge aliases to k_merge_feature
+        # (vstream_arch.py:633-635)
         r = k_merge_frames(flat, n_long, L)
         clusters, weights = r.features.reshape(L, Pl, D), r.valid.astype(jnp.float32)
     elif cfg.compress_type == "kdrop":

@@ -77,6 +77,9 @@ def build_session(args):
 
 def run_server(args) -> dict:
     logger = build_logger("cli_server", args.log_file)
+
+    from ..core.runtime_setup import enable_compilation_cache
+    enable_compilation_cache()
     session = build_session(args)
 
     if args.video_file:
@@ -112,10 +115,15 @@ def run_server(args) -> dict:
         now = time.perf_counter()
         if args.play_speed > 0 and now < target:
             time.sleep(target - now)
-        with Timer(metrics, "memory_latency"):
-            session.ingest_frames(clip)
-            if args.sync_every_clip:
-                session.block_until_ingested()
+        try:
+            with Timer(metrics, "memory_latency"):
+                session.ingest_frames(clip)
+                if args.sync_every_clip:
+                    session.block_until_ingested()
+        except Exception as e:
+            # keep streaming on a bad clip (reference catches-and-loops,
+            # cli_video_stream.py:201-203)
+            logger.error(f"ingest failed at frame {i}: {e}")
         i += len(clip)
 
         elapsed = time.perf_counter() - start
