@@ -69,6 +69,8 @@ def launch_workers(args, info: dict) -> List[str]:
         common += ["--fps", str(args.fps)]
     if args.flash_memory_dict:
         common += ["--flash-memory-dict", args.flash_memory_dict]
+    if args.subtitle_dir:
+        common += ["--subtitle-dir", args.subtitle_dir]
     if args.dry_run:
         common += ["--dry-run"]
 
@@ -104,6 +106,8 @@ def main(argv=None):
     p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
     p.add_argument("--flash-memory-dict", type=str, default=None)
     p.add_argument("--use-high-fps", action="store_true")
+    p.add_argument("--subtitle-dir", type=str, default=None,
+                   help="<video_id>.srt directory (videommesub)")
     p.add_argument("--judge-model", type=str, default="gpt-3.5-turbo-0125")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--skip-inference", action="store_true",

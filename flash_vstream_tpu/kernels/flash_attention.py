@@ -51,32 +51,31 @@ def xla_attention(
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     B, Hq, Sq, D = q.shape
-    Hkv = k.shape[1]
+    Hkv, Skv = k.shape[1], k.shape[2]
     assert Hq % Hkv == 0
     g = Hq // Hkv
-    if g > 1:
-        k = jnp.repeat(k, g, axis=1)
-        v = jnp.repeat(v, g, axis=1)
     if scale is None:
         scale = 1.0 / (D ** 0.5)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    mask = jnp.ones((B, 1, Sq, k.shape[2]), bool)
+    # grouped einsum: q heads fold into a group axis over shared kv heads —
+    # the kv cache is never materialized per-q-head (decode is HBM-bound)
+    qg = q.reshape(B, Hkv, g, Sq, D).astype(jnp.float32)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k.astype(jnp.float32)) * scale
+    mask = jnp.ones((B, 1, 1, Sq, Skv), bool)
     if causal:
         qi = jnp.arange(Sq)[:, None] + q_offset
-        ki = jnp.arange(k.shape[2])[None, :]
-        mask = mask & (qi >= ki)[None, None]
+        ki = jnp.arange(Skv)[None, :]
+        mask = mask & (qi >= ki)[None, None, None]
     if q_segment_ids is not None:
         seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
         seg = seg & (kv_segment_ids[:, None, :] >= 0)
-        mask = mask & seg[:, None]
+        mask = mask & seg[:, None, None]
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     # rows with no visible keys: zero them (softmax of all-masked is uniform)
     any_visible = jnp.any(mask, axis=-1, keepdims=True)
     p = jnp.where(any_visible, p, 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32))
+    return out.reshape(B, Hq, Sq, D).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

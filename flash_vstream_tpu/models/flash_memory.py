@@ -289,8 +289,20 @@ def flash_stream_update(
     cat_t = jnp.concatenate([state.tem_times, new_times])
     n_cat = state.tem_valid.sum() + n_new
     flat = cat_x.reshape(K + T_new, P_small * D)
-    cents, cw, cts = _ordered_kmeans_with_times(flat, K, cat_w, cat_t,
-                                                cat_valid, key)
+    if cfg.temporal_method == "sample":
+        # uniform sample over the packed valid prefix (temporal order)
+        order0 = jnp.argsort(jnp.where(cat_valid, cat_t, jnp.inf))
+        srt_x, srt_w, srt_t = flat[order0], cat_w[order0], cat_t[order0]
+        pos = (jnp.linspace(0.0, 1.0, K)
+               * (jnp.maximum(n_cat, 1) - 1).astype(jnp.float32))
+        idx = pos.astype(jnp.int32)
+        cents, cw, cts = srt_x[idx], srt_w[idx], srt_t[idx]
+    else:
+        # clustering registry (kmeans_ordered and variants; dbscan/gmm are
+        # offline-only alternates — streaming re-clusters a mixed bank where
+        # density/eps semantics don't transfer)
+        cents, cw, cts = _ordered_kmeans_with_times(flat, K, cat_w, cat_t,
+                                                    cat_valid, key)
     slot = jnp.arange(K)
     is_short = n_cat <= K
     order = jnp.argsort(jnp.where(cat_valid, cat_t, jnp.inf))
@@ -310,11 +322,30 @@ def flash_stream_update(
                            bank_pos=bank_pos,
                            n_frames=state.n_frames + n_new)
 
-    # --- DAM retrieval from the pooled bank ---
+    # --- DAM retrieval from the pooled bank (configured spatial method) ---
     t_dam = cfg.dam_grid_len
-    metric = "cosine" if cfg.spatial_method.endswith("_cos") else "euclidean"
-    idx, _ = dam_retrieve(tem_x, jnp.where(tem_valid, tem_weights, -jnp.inf),
-                          bank_small, bank_pos >= 0, t_dam, metric)
+    n_total_now = state.n_frames + n_new
+    if cfg.spatial_method == "sample":
+        order_b = jnp.argsort(
+            jnp.where(bank_pos >= 0, bank_pos, jnp.iinfo(jnp.int32).max))
+        pos_f = (jnp.linspace(0.0, 1.0, t_dam)
+                 * (jnp.maximum(n_total_now, 1) - 1).astype(jnp.float32))
+        idx = order_b[jnp.minimum(pos_f.astype(jnp.int32),
+                                  state.bank.shape[0] - 1)]
+    elif cfg.spatial_method == "nearest":
+        # frames at the heaviest clusters' timestamps (model.py:222-227)
+        top = jnp.argsort(-jnp.where(tem_valid, tem_weights, -jnp.inf))[:t_dam]
+        want_pos = jnp.round(tem_times[top]).astype(jnp.int32)
+        # map global frame index -> bank slot
+        hits = (bank_pos[None, :] == want_pos[:, None])
+        idx = jnp.argmax(hits, axis=1)
+        idx = jnp.where(jnp.any(hits, axis=1), idx, 0)
+    else:
+        metric = ("cosine" if cfg.spatial_method.endswith("_cos")
+                  else "euclidean")
+        idx, _ = dam_retrieve(tem_x,
+                              jnp.where(tem_valid, tem_weights, -jnp.inf),
+                              bank_small, bank_pos >= 0, t_dam, metric)
     # short stream (t <= spatial_length): pass all frames through in temporal
     # order (spatial_enhance, model.py:214-216); slots beyond n_frames carry
     # duplicates of the earliest frame and are sliced off host-side.

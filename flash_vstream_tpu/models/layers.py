@@ -44,8 +44,13 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def gelu_exact(x):
+    """erf GELU (HF nn.GELU default; the tanh approximation drifts logits)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 ACTIVATIONS = {
-    "gelu": jax.nn.gelu,
+    "gelu": gelu_exact,
     "quick_gelu": quick_gelu,
     "silu": jax.nn.silu,
 }

@@ -39,5 +39,5 @@ def project(params: dict, cfg: ProjectorConfig, x: jnp.ndarray) -> jnp.ndarray:
     layers = params["layers"]
     out = dense(x, layers[0]["w"], layers[0]["b"])
     for lp in layers[1:]:
-        out = dense(jax.nn.gelu(out), lp["w"], lp["b"])
+        out = dense(jax.nn.gelu(out, approximate=False), lp["w"], lp["b"])
     return out

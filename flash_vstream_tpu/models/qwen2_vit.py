@@ -156,5 +156,6 @@ def patch_merger(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     m = params["merger"]
     h = layer_norm(x, m["ln_q"]["scale"], m["ln_q"]["bias"], 1e-6)
     h = h.reshape(-1, h.shape[-1] * 4)
-    h = jax.nn.gelu(dense(h, m["fc1"]["w"], m["fc1"]["b"]))
+    h = jax.nn.gelu(dense(h, m["fc1"]["w"], m["fc1"]["b"]),
+                    approximate=False)
     return dense(h, m["fc2"]["w"], m["fc2"]["b"])

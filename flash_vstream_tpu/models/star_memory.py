@@ -235,7 +235,9 @@ def star_stream_update(
         jnp.where(new_valid, state.n_frames + new_idx,
                   state.bank_pos[write_pos]))
 
-    # --- long memory: concat(old compressed, new pooled) then re-compress ---
+    # --- long memory: concat(old compressed, new pooled) then re-compress
+    # with the CONFIGURED op (reference streaming uses the same compress_fn
+    # registry as offline, vstream_arch.py:626-670) ---
     new_long = spatial_pool(new_features, cfg.long_size)
     cat_long = jnp.concatenate([state.long, new_long])            # [L+T_new,...]
     cat_valid = jnp.concatenate([state.long_valid, new_valid])
@@ -243,9 +245,21 @@ def star_stream_update(
         jnp.where(state.long_valid, jnp.maximum(state.long_weights, 1e-6), 0.0),
         new_valid.astype(jnp.float32)])
     n_cat = state.long_valid.sum() + n_new
-    flat = cat_long.reshape(L + T_new, -1)
-    res = weighted_kmeans(flat, L, weights=cat_weights, valid=cat_valid,
-                          key=key)
+    if cfg.compress_type in ("weighted_kmeans", "kmeans"):
+        flat = cat_long.reshape(L + T_new, -1)
+        res = weighted_kmeans(flat, L, weights=cat_weights, valid=cat_valid,
+                              key=key)
+        comp = res.centroids.reshape(L, *cat_long.shape[1:])
+        comp_w = res.cluster_weights
+    else:
+        # sequential ops consume a packed valid prefix (same registry as
+        # _compress_long); weights are validity like the offline path
+        order0 = jnp.argsort(~cat_valid)
+        packed_seq = cat_long[order0].reshape(L + T_new, -1)
+        comp, _, comp_w = _compress_long(
+            cfg,
+            packed_seq.reshape(L + T_new, *cat_long.shape[1:]),
+            jnp.arange(L + T_new) < n_cat, n_cat, key)
     slot = jnp.arange(L)
     is_short = n_cat <= L
     # short phase: pack the valid rows of cat_long into the first n_cat slots
@@ -253,10 +267,9 @@ def star_stream_update(
     packed = cat_long[order][:L]
     packed_w = cat_weights[order][:L]
     long_mem = jnp.where(is_short, jnp.where((slot < n_cat)[:, None, None],
-                                             packed, 0.0),
-                         res.centroids.reshape(L, *cat_long.shape[1:]))
+                                             packed, 0.0), comp)
     long_weights = jnp.where(is_short, jnp.where(slot < n_cat, packed_w, 0.0),
-                             res.cluster_weights)
+                             comp_w)
     long_valid = jnp.where(is_short, slot < n_cat, jnp.ones((L,), bool))
 
     # --- retrieval from the bank ---
@@ -274,15 +287,27 @@ def star_stream_update(
     updated = ntm_update(ntm_params, old_flat,
                          new_turing.reshape(-1, D), tok_valid,
                          cfg.turing_update_ratio).reshape(state.turing.shape)
-    # growth phase: append new frames until Lt is filled, then NTM-blend
+    # growth phase: append new frames until Lt is filled; frames beyond the
+    # capacity boundary NTM-blend into the packed memory (reference
+    # attention_feature folds the overflow, compress_functions.py:263-277)
     n_tur = state.turing_valid.sum()
     growing = n_tur < Lt
     cat_tur = jnp.concatenate([state.turing, new_turing])
     cat_tvalid = jnp.concatenate([state.turing_valid, new_valid])
     torder = jnp.argsort(~cat_tvalid)
-    packed_tur = cat_tur[torder][:Lt]
-    packed_tvalid = cat_tvalid[torder][:Lt]
-    turing = jnp.where(growing, packed_tur,
+    packed_all = cat_tur[torder]
+    packed_valid_all = cat_tvalid[torder]
+    packed_tur = packed_all[:Lt]
+    packed_tvalid = packed_valid_all[:Lt]
+    overflow = packed_all[Lt:Lt + T_new]
+    overflow_valid = packed_valid_all[Lt:Lt + T_new]
+    has_overflow = jnp.any(overflow_valid)
+    blended = ntm_update(
+        ntm_params, packed_tur.reshape(-1, D), overflow.reshape(-1, D),
+        jnp.repeat(overflow_valid, cfg.turing_size ** 2),
+        cfg.turing_update_ratio).reshape(packed_tur.shape)
+    grown = jnp.where(has_overflow, blended, packed_tur)
+    turing = jnp.where(growing, grown,
                        jnp.where(state.turing_valid[:, None, None], updated,
                                  state.turing))
     turing_valid = jnp.where(growing, packed_tvalid, state.turing_valid)

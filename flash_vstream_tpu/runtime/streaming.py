@@ -162,12 +162,15 @@ class QwenStreamSession:
     """Streaming Qwen-generation session (cli_server_2gpu.py replacement)."""
 
     def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
-                 frame_hw=(224, 224), clip_size: int = 1,
+                 frame_hw=(224, 224), clip_size: int = 2,
                  bank_size: int = 1024, max_len: int = 16384,
                  max_pixels: int = 4 * 224 * 224):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        assert clip_size % 2 == 0, (
+            "Qwen streaming ingests temporal frame PAIRS; clip_size must be "
+            f"even (got {clip_size})")
         self.clip_size = clip_size
         self.metrics = MetricMeter()
         self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
@@ -184,7 +187,7 @@ class QwenStreamSession:
         self._snapshot = None   # (spa_x, spa_pos, tem_x, tem_pos) device arrays
         self._step = 0
 
-        t_clip = clip_size // 2 if clip_size >= 2 else 1
+        t_clip = clip_size // 2
         grid = (t_clip, gh, gw)
         S = t_clip * gh * gw
         S_small = S // 4

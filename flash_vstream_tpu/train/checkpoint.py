@@ -72,12 +72,12 @@ def export_safetensors(path: str, params: Any, prefix: str = ""):
         if isinstance(x, dict):
             for k, v in x.items():
                 visit(f"{p}.{k}" if p else k, v)
+        elif hasattr(x, "_fields"):  # NamedTuple (checked before tuple!)
+            for k in x._fields:
+                visit(f"{p}.{k}", getattr(x, k))
         elif isinstance(x, (list, tuple)):
             for i, v in enumerate(x):
                 visit(f"{p}.{i}", v)
-        elif hasattr(x, "_fields"):  # NamedTuple
-            for k in x._fields:
-                visit(f"{p}.{k}", getattr(x, k))
         else:
             flat[prefix + p] = np.asarray(x)
 

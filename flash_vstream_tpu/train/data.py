@@ -56,10 +56,13 @@ def preprocess_v1(conversations: List[dict], tokenizer,
     labels = np.full_like(input_ids, IGNORE_INDEX)
 
     # supervise each assistant turn: find its text span by tokenizing the
-    # conversation prefix up to and including the turn
+    # conversation prefix up to and including the turn. cur starts at 1 to
+    # skip the BOS token (the reference's cur_len = 1, train.py:464), since
+    # the per-round token counts below exclude it.
     sep2 = conv.sep2
     rounds = prompt.split(sep2)
-    cur = 0
+    cur = 1 if len(input_ids) and input_ids[0] == getattr(
+        tokenizer, "bos_token_id", None) else 0
     for r in rounds:
         if not r:
             continue

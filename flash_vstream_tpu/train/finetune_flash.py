@@ -126,6 +126,14 @@ def run_training(args) -> dict:
     # --max-len
     max_len = args.max_len
 
+    # pin ONE training resolution so every sample shares a grid (one
+    # compiled step): smart-resize of the first video's resolution
+    from ..preprocess.image import smart_resize, _resize_bilinear, _to_float_chw
+    _first = load_video(os.path.join(args.video_dir, items[0]["video"]),
+                        max_frames=1)[0]
+    _h, _w = np.asarray(_first).shape[:2]
+    train_hw = smart_resize(_h, _w, factor=56, max_pixels=args.max_pixels)
+
     def prepare(item):
         src = load_video(os.path.join(args.video_dir, item["video"]),
                          max_frames=args.max_frames)
@@ -136,6 +144,13 @@ def run_training(args) -> dict:
         target = args.frame_bucket or args.max_frames
         while len(frames) < target:
             frames.append(frames[-1])
+        # force the pinned resolution (mixed-resolution datasets would
+        # otherwise produce per-sample grids and break batching)
+        frames = [np.clip(_resize_bilinear(_to_float_chw(np.asarray(f)),
+                                           train_hw) * 255, 0, 255)
+                  .transpose(1, 2, 0).astype(np.uint8)
+                  if np.asarray(f).shape[:2] != train_hw else np.asarray(f)
+                  for f in frames]
         patches, grid = qwen_preprocess(frames, max_pixels=args.max_pixels)
         ids, labels, span = preprocess_qwen_sample(item, tokenizer, cfg, grid,
                                                    max_len)
