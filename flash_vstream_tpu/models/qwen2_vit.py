@@ -150,6 +150,68 @@ def qwen_vit_blocks(
     return x[0]
 
 
+def qwen_vit_blocks_frames(
+    params: dict,
+    cfg: VitConfig,
+    patches: jnp.ndarray,        # [S, pd], S = t_full*hw_full + t_small*hw_small
+    *,
+    t_full: int, hw_full: Tuple[int, int],
+    t_small: int, hw_small: Tuple[int, int],
+) -> jnp.ndarray:
+    """Frame-batched encoder for the uniform-grid case (the common path:
+    one video, dual-resolution streams).
+
+    Attention in Qwen2-VL is block-diagonal per temporal frame (cu_seqlens =
+    repeat_interleave(h*w, t)), so instead of masking an [S, S] score matrix
+    (up to ~50x wasted compute at 240-frame offline scale) each stream
+    reshapes to [frames, tokens/frame] and attention runs as a batch of small
+    full-attention problems. QKV/MLP/LN still run once over the concatenated
+    token stream. Returns [S, D].
+    """
+    D = cfg.hidden_size
+    n_full = t_full * hw_full[0] * hw_full[1]
+    P_full = hw_full[0] * hw_full[1]
+    P_small = hw_small[0] * hw_small[1]
+
+    x = dense(patches, params["patch_embed"]["w"])             # [S, D]
+    pos_f = jnp.asarray(grid_positions([(1, *hw_full)]))
+    pos_s = jnp.asarray(grid_positions([(1, *hw_small)]))
+    rope_f = vision_rope_angles(pos_f[:, 0], pos_f[:, 1], cfg.head_dim)
+    rope_s = vision_rope_angles(pos_s[:, 0], pos_s[:, 1], cfg.head_dim)
+
+    def attn_stream(lp, h, rope):
+        # h: [T, P, D] frames-as-batch
+        T, P, _ = h.shape
+        q = dense(h, lp["attn"]["wq"]["w"], lp["attn"]["wq"].get("b"))
+        k = dense(h, lp["attn"]["wk"]["w"], lp["attn"]["wk"].get("b"))
+        v = dense(h, lp["attn"]["wv"]["w"], lp["attn"]["wv"].get("b"))
+        q = q.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        from .layers import apply_rope
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
+        from ..kernels.flash_attention import flash_attention
+        out = flash_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(T, P, D)
+        return dense(out, lp["attn"]["wo"]["w"], lp["attn"]["wo"].get("b"))
+
+    def body(x, lp):
+        h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], 1e-6)
+        a_full = attn_stream(lp, h[:n_full].reshape(t_full, P_full, D), rope_f)
+        a_small = attn_stream(lp, h[n_full:].reshape(t_small, P_small, D),
+                              rope_s)
+        attn = jnp.concatenate([a_full.reshape(-1, D),
+                                a_small.reshape(-1, D)])
+        x = x + attn
+        h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], 1e-6)
+        x = x + gelu_mlp(lp["mlp"], h, cfg.hidden_act)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x
+
+
 def patch_merger(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """HF PatchMerger: LN, merge 2x2 window tokens, 2-layer GELU MLP.
     x: [S, D] (S multiple of 4, window-contiguous) -> [S/4, out_dim]."""

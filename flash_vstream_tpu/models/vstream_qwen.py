@@ -104,18 +104,16 @@ def encode_video(
         patches, grid, cfg.vit.patch_size, cfg.vit.temporal_patch_size,
         cfg.vit.in_channels)
     all_patches = jnp.concatenate([patches, small], axis=0)
-    grids = [grid, small_grid]
-    S = all_patches.shape[0]
-    S_pad = _round_up(S, 512)
-    all_patches = jnp.pad(all_patches, ((0, S_pad - S), (0, 0)))
-    pos = np.pad(grid_positions(grids), ((0, S_pad - S), (0, 0)))
-    seg = np.pad(grid_segments(grids), (0, S_pad - S), constant_values=-1)
-
-    hidden = qwen_vit_blocks(params["vit"], cfg.vit, all_patches,
-                             jnp.asarray(pos), jnp.asarray(seg))    # [S_pad, D]
+    # attention is block-diagonal per temporal frame, so the uniform-grid
+    # encoder batches frames instead of masking a padded [S, S] problem
+    from .qwen2_vit import qwen_vit_blocks_frames
+    hidden = qwen_vit_blocks_frames(
+        params["vit"], cfg.vit, all_patches,
+        t_full=t, hw_full=(h, w),
+        t_small=small_grid[0], hw_small=(small_grid[1], small_grid[2]))
     n_full = t * h * w
     x = hidden[:n_full].reshape(t, h * w, D)
-    sx = hidden[n_full:S].reshape(t, small_grid[1] * small_grid[2], D)
+    sx = hidden[n_full:].reshape(t, small_grid[1] * small_grid[2], D)
 
     fm = flash_consolidate(cfg.flash_memory, x, sx, key=key)
     merged_in = cat_spa_tem(fm.spa_x, fm.tem_x)                     # [N_tok, D]

@@ -191,19 +191,19 @@ class QwenStreamSession:
         grid = (t_clip, gh, gw)
         S = t_clip * gh * gw
         S_small = S // 4
-        S_pad = -(-(S + S_small) // 512) * 512
-        pos_np, seg_np = prepare_vit_inputs(
-            [grid, (t_clip, gh // 2, gw // 2)], pad_to=S_pad)
-        pos_c, seg_c = jnp.asarray(pos_np), jnp.asarray(seg_np)
 
         def ingest(params, state, frames_u8, n_new, key):
             # fused device preprocess: uint8 -> normalized patch stream
             patches = qwen_device_preprocess(frames_u8)
-            # dual-resolution encode of the clip
+            # dual-resolution encode; attention batched per frame (attention
+            # is block-diagonal per temporal frame, no padded [S,S] masking)
             small, small_grid = qwen_temporal_pool(patches, grid)
             allp = jnp.concatenate([patches, small], axis=0)
-            allp = jnp.pad(allp, ((0, S_pad - allp.shape[0]), (0, 0)))
-            hidden = qwen_vit_blocks(params["vit"], cfg.vit, allp, pos_c, seg_c)
+            from ..models.qwen2_vit import qwen_vit_blocks_frames
+            hidden = qwen_vit_blocks_frames(
+                params["vit"], cfg.vit, allp,
+                t_full=t_clip, hw_full=(gh, gw),
+                t_small=t_clip, hw_small=(gh // 2, gw // 2))
             D = cfg.vit.hidden_size
             x = hidden[:S].reshape(t_clip, self.p_full, D)
             sx = hidden[S:S + S_small].reshape(t_clip, self.p_small, D)

@@ -168,3 +168,23 @@ def test_qwen_vit_forward(rng):
                            jnp.asarray(pos2), jnp.asarray(seg2))
     np.testing.assert_allclose(np.asarray(out)[:S], np.asarray(out2)[:S],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_qwen_vit_frames_matches_segments(rng):
+    """Frame-batched encoder == segment-masked encoder (uniform grids)."""
+    from flash_vstream_tpu.models.qwen2_vit import qwen_vit_blocks_frames
+    params = init_qwen_vit_params(jax.random.PRNGKey(0), QVIT_CFG)
+    t, h, w = 3, 4, 4
+    th, tw = 2, 2   # pooled grid
+    S = t * h * w + t * th * tw
+    pd = 3 * 2 * 2 * 2
+    patches = rng.normal(size=(S, pd)).astype(np.float32)
+    grids = [(t, h, w), (t, th, tw)]
+    pos, seg = prepare_vit_inputs(grids, pad_to=S)
+    want = qwen_vit_blocks(params, QVIT_CFG, jnp.asarray(patches),
+                           jnp.asarray(pos), jnp.asarray(seg))
+    got = qwen_vit_blocks_frames(params, QVIT_CFG, jnp.asarray(patches),
+                                 t_full=t, hw_full=(h, w),
+                                 t_small=t, hw_small=(th, tw))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
