@@ -510,7 +510,14 @@ def flash_attention(
 
     B, Hq, Sq, D = q.shape
     Skv = k.shape[2]
-    block_q, block_kv = 512, 1024
+
+    def rup(x, m):
+        return -(-x // m) * m
+
+    # adapt block sizes to short sequences so padding stays at the 128-tile
+    # granularity (e.g. 256-token ViT frames would otherwise pad 2x to 512)
+    block_q = min(512, rup(Sq, 128))
+    block_kv = min(1024, rup(Skv, 128))
 
     def pad_axis(x, axis, mult, value=0.0):
         pad = (-x.shape[axis]) % mult

@@ -36,7 +36,7 @@ from ..models.flash_memory import (
     flash_stream_update,
     init_flash_state,
 )
-from ..models.qwen2_vit import patch_merger, qwen_vit_blocks, prepare_vit_inputs
+from ..models.qwen2_vit import patch_merger
 from ..models.star_memory import (
     init_star_state,
     star_memory_tokens,
