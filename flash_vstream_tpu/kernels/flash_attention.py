@@ -165,14 +165,22 @@ def _flash_kernel_stats(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
 
 
+def _pick_block(S: int, target: int) -> int:
+    """Largest block <= target that divides S (S must be a 128-multiple)."""
+    b = min(target, S)
+    while S % b:
+        b -= 128
+    return b
+
+
 def _prep(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     g = Hq // Hkv
-    block_q = min(block_q, Sq)
-    block_kv = min(block_kv, Skv)
+    block_q = _pick_block(Sq, block_q)
+    block_kv = _pick_block(Skv, block_kv)
     assert Sq % block_q == 0 and Skv % block_kv == 0, (
-        "sequence lengths must be padded to the block size "
+        "sequence lengths must be padded to a 128-multiple "
         f"(Sq={Sq}, Skv={Skv}, block_q={block_q}, block_kv={block_kv})")
     use_segments = q_segment_ids is not None
     if not use_segments:
@@ -310,12 +318,15 @@ def _flash_bwd_dq_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
                           do_ref, lse_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                           *, scale, causal, use_segments, block_q, block_kv,
-                          num_q_blocks):
-    i = pl.program_id(3)     # q block (innermost)
-    kj = pl.program_id(2)    # kv block
+                          num_q_blocks, group):
+    # grid (B, Hkv, nkv, g, nq): the GQA group is accumulated IN-KERNEL so
+    # dk/dv write once per kv head instead of once per q head
+    gh = pl.program_id(3)
+    i = pl.program_id(4)     # q block (innermost)
+    kj = pl.program_id(2)
     b = pl.program_id(0)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (gh == 0))
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -349,7 +360,7 @@ def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [bkv, D]
 
-    @pl.when(i == num_q_blocks - 1)
+    @pl.when((i == num_q_blocks - 1) & (gh == group - 1))
     def _finalize():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
@@ -400,19 +411,20 @@ def _pallas_flash_bwd(q, k, v, o, do, lse, q_segment_ids, kv_segment_ids, *,
                                  "arbitrary")),
     )(q_segment_ids, kv_segment_ids, q, k, v, o, do, lse)
 
-    # --- dk/dv: grid (B, Hq, nkv, nq), q innermost; per-q-head outputs are
-    # reduced over the GQA group afterwards ---
-    q_in_kvgrid = lambda b, h, kj, i: (b, h, i, 0)
-    kv_in_kvgrid = lambda b, h, kj, i, g=g: (b, h // g, kj, 0)
+    # --- dk/dv: grid (B, Hkv, nkv, g, nq); the GQA group and q blocks are
+    # both accumulation dims, so dk/dv write once per kv head ---
+    Hkv = k.shape[1]
+    q_in_kvgrid = lambda b, hk, kj, gh, i, g=g: (b, hk * g + gh, i, 0)
+    kv_in_kvgrid = lambda b, hk, kj, gh, i: (b, hk, kj, 0)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, causal=causal,
                           use_segments=use_segments, block_q=block_q,
-                          block_kv=block_kv, num_q_blocks=nq),
-        grid=(B, Hq, nkv, nq),
+                          block_kv=block_kv, num_q_blocks=nq, group=g),
+        grid=(B, Hkv, nkv, g, nq),
         in_specs=[
-            pl.BlockSpec((B, block_q), lambda b, h, kj, i: (0, i),
+            pl.BlockSpec((B, block_q), lambda b, hk, kj, gh, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, block_kv), lambda b, h, kj, i: (0, kj),
+            pl.BlockSpec((B, block_kv), lambda b, hk, kj, gh, i: (0, kj),
                          memory_space=pltpu.VMEM),
             qspec(q_in_kvgrid),
             kvspec(kv_in_kvgrid),
@@ -420,31 +432,28 @@ def _pallas_flash_bwd(q, k, v, o, do, lse, q_segment_ids, kv_segment_ids, *,
             qspec(q_in_kvgrid),                                  # o
             qspec(q_in_kvgrid),                                  # do
             pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b, h, kj, i: (b, h, i, 0),
+                         lambda b, hk, kj, gh, i, g=g: (b, hk * g + gh, i, 0),
                          memory_space=pltpu.VMEM),               # lse
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_kv, D),
-                         lambda b, h, kj, i: (b, h, kj, 0),
+                         lambda b, hk, kj, gh, i: (b, hk, kj, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_kv, D),
-                         lambda b, h, kj, i: (b, h, kj, 0),
+                         lambda b, hk, kj, gh, i: (b, hk, kj, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Skv, D), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((block_kv, D), jnp.float32),
                         pltpu.VMEM((block_kv, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary", "arbitrary")),
     )(q_segment_ids, kv_segment_ids, q, k, v, o, do, lse)
 
-    Hkv = k.shape[1]
-    dk = dk.reshape(B, Hkv, g, Skv, D).sum(axis=2)
-    dv = dv.reshape(B, Hkv, g, Skv, D).sum(axis=2)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
