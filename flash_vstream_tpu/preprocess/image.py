@@ -146,7 +146,9 @@ def qwen_preprocess(frames: Sequence[np.ndarray],
     nh, nw = smart_resize(H, W, factor=factor, max_pixels=max_pixels)
     out = []
     for f in frames:
-        img = _resize_bilinear(_to_float_chw(f), (nh, nw))
+        img = _to_float_chw(f)
+        if img.shape[1:] != (nh, nw):    # skip no-op PIL round trips
+            img = _resize_bilinear(img, (nh, nw))
         img = (img - OPENAI_CLIP_MEAN[:, None, None]) / OPENAI_CLIP_STD[:, None, None]
         out.append(img)
     return qwen_patchify(np.stack(out))

@@ -126,16 +126,37 @@ class QwenPipeline:
         self._encode_cache = {}
 
     def _encode_fn(self, grid):
+        """jit per grid bucket: uint8 frames -> device-fused preprocess
+        (normalize+patchify, 4x less transfer than f32 patches) -> visual
+        pipeline."""
         if grid not in self._encode_cache:
-            self._encode_cache[grid] = jax.jit(
-                lambda params, p, key: vstream_qwen.encode_video(
-                    params, self.cfg, p, grid, key=key))
+            from ..preprocess.image import qwen_device_preprocess
+
+            def fn(params, frames_u8, key):
+                patches = qwen_device_preprocess(frames_u8)
+                return vstream_qwen.encode_video(params, self.cfg, patches,
+                                                 grid, key=key)
+            self._encode_cache[grid] = jax.jit(fn)
         return self._encode_cache[grid]
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0) -> str:
-        patches, grid = qwen_preprocess(frames, max_pixels=self.max_pixels)
-        vis = self._encode_fn(grid)(self.params, jnp.asarray(patches),
+        from ..preprocess.image import _resize_bilinear, _to_float_chw, smart_resize
+        f0 = np.asarray(frames[0])
+        nh, nw = smart_resize(f0.shape[0], f0.shape[1], factor=56,
+                              max_pixels=self.max_pixels)
+        arr = []
+        for f in frames:
+            f = np.asarray(f)
+            if f.shape[:2] != (nh, nw):
+                f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
+                            * 255.0, 0, 255).transpose(1, 2, 0)
+            arr.append(f.astype(np.uint8))
+        if len(arr) % 2:
+            arr.append(arr[-1])            # temporal-pair padding
+        frames_u8 = np.stack(arr)
+        grid = (len(arr) // 2, nh // 14, nw // 14)
+        vis = self._encode_fn(grid)(self.params, jnp.asarray(frames_u8),
                                     jax.random.PRNGKey(seed))
 
         input_ids, video_span = build_video_prompt(

@@ -74,3 +74,25 @@ def test_quantized_generation_runs(rng):
     out = g.generate(embeds, jnp.arange(6)[None],
                      GenerationConfig(max_new_tokens=5, eos_token_ids=()))
     assert len(out) == 5
+
+
+def test_quantized_qwen_pipeline_e2e(rng):
+    """Full offline QA through a weight-only int8 pipeline."""
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.preprocess.qwen_processor import make_byte_qwen_tokenizer
+    from flash_vstream_tpu.preprocess.video import SyntheticSource
+    from flash_vstream_tpu.runtime.pipeline import QwenPipeline
+    from flash_vstream_tpu.weights.quantize import quantize_params
+
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_params(params)
+    pipe = QwenPipeline(qp, cfg, make_byte_qwen_tokenizer(), max_len=1024)
+    frames = list(SyntheticSource(6, 56, 56))
+    out = pipe.answer(frames, "What?", gen=GenerationConfig(max_new_tokens=6))
+    assert isinstance(out, str)
+    # int8 and full-precision pipelines agree on tiny-model greedy decode
+    pipe_f = QwenPipeline(params, cfg, make_byte_qwen_tokenizer(), max_len=1024)
+    out_f = pipe_f.answer(frames, "What?", gen=GenerationConfig(max_new_tokens=6))
+    assert out == out_f
