@@ -68,6 +68,41 @@ def clip_preprocess(frames: Sequence[np.ndarray], image_size: int = 336,
     return np.stack(out)
 
 
+def clip_resize_u8(frames: Sequence[np.ndarray], image_size: int = 336,
+                   pad_to_square: bool = True) -> np.ndarray:
+    """Host half of the CLIP pipeline: pad-to-square + resize only, keeping
+    uint8 HWC ([T, S, S, 3]); normalization/CHW happen on device
+    (clip_device_preprocess) — 4x less host->device transfer."""
+    from PIL import Image
+    out = []
+    fill = tuple(int(round(c * 255)) for c in OPENAI_CLIP_MEAN)
+    for f in frames:
+        f = np.asarray(f)
+        if f.dtype != np.uint8:
+            if f.ndim == 3 and f.shape[0] in (1, 3):
+                f = f.transpose(1, 2, 0)
+            f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+        img = Image.fromarray(f)
+        if pad_to_square and img.width != img.height:
+            s = max(img.size)
+            bg = Image.new("RGB", (s, s), fill)
+            bg.paste(img, ((s - img.width) // 2, (s - img.height) // 2))
+            img = bg
+        if img.size != (image_size, image_size):
+            img = img.resize((image_size, image_size), Image.BICUBIC)
+        out.append(np.asarray(img))
+    return np.stack(out)
+
+
+def clip_device_preprocess(frames_u8):
+    """Device half: uint8 [T, S, S, 3] -> normalized [T, 3, S, S] (jnp,
+    lives inside the encode jit)."""
+    import jax.numpy as jnp
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(OPENAI_CLIP_MEAN)) / jnp.asarray(OPENAI_CLIP_STD)
+    return x.transpose(0, 3, 1, 2)
+
+
 def smart_resize(height: int, width: int, factor: int = 56,
                  min_pixels: int = 56 * 56 * 4,
                  max_pixels: int = 14 * 14 * 4 * 1280) -> Tuple[int, int]:

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..core.config import VStreamLLaVAConfig, VStreamQwenConfig
 from ..models import vstream_llava, vstream_qwen
-from ..preprocess.image import clip_preprocess, qwen_preprocess
+from ..preprocess.image import (clip_device_preprocess, clip_preprocess,
+                                clip_resize_u8)
 from ..preprocess.prompts import conv_templates
 from ..preprocess.qwen_processor import build_video_prompt
 from ..preprocess.tokenizer import ByteTokenizer, tokenizer_image_token
@@ -48,7 +49,8 @@ class LLaVAPipeline:
         # params passed as jit arguments (NOT closed over: closures inline
         # weights as HLO constants, which breaks remote compile)
         self._encode = jax.jit(
-            lambda params, imgs: vstream_llava.encode_frames(params, cfg, imgs))
+            lambda params, u8: vstream_llava.encode_frames(
+                params, cfg, clip_device_preprocess(u8)))
         self._consolidate = jax.jit(
             lambda params, feats, n, key: vstream_llava.consolidate(
                 params, cfg, feats, n, key))
@@ -57,7 +59,7 @@ class LLaVAPipeline:
             lambda params, imgs: clip_encode(params["vit"], cfg.vit, imgs))
 
     def encode_video(self, frames: Sequence[np.ndarray]) -> jnp.ndarray:
-        imgs = clip_preprocess(frames, self.cfg.vit.image_size)
+        imgs = clip_resize_u8(frames, self.cfg.vit.image_size)
         return self._encode(self.params, jnp.asarray(imgs))
 
     def answer_image(self, image: np.ndarray, question: str,

@@ -48,7 +48,9 @@ from ..preprocess.image import (
     OPENAI_CLIP_STD,
     _resize_bilinear,
     _to_float_chw,
+    clip_device_preprocess,
     clip_preprocess,
+    clip_resize_u8,
     qwen_device_preprocess,
     smart_resize,
 )
@@ -75,7 +77,8 @@ class LLaVAStreamSession:
             cfg.star, cfg.projector.effective_input_dim)
         self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
 
-        def ingest(params, state, images, n_new, key):
+        def ingest(params, state, frames_u8, n_new, key):
+            images = clip_device_preprocess(frames_u8)
             feats = vstream_llava.encode_frames(params, cfg, images)
             return star_stream_update(params["ntm"], cfg.star, state, feats,
                                       n_new, key)
@@ -106,7 +109,7 @@ class LLaVAStreamSession:
     def ingest_frames(self, frames: Sequence[np.ndarray]):
         """Dispatch one clip's encode+consolidate; returns without blocking."""
         with Timer(self.metrics, "memory_latency_host_preprocess"):
-            imgs = clip_preprocess(frames, self.cfg.vit.image_size)
+            imgs = clip_resize_u8(frames, self.cfg.vit.image_size)
             n = len(frames)
             pad = self.clip_size - n
             if pad > 0:
@@ -482,7 +485,8 @@ class MultiStreamEngine:
         self.states = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (n_streams, *x.shape)).copy(), one)
 
-        def ingest_one(params, state, images, n_new, key):
+        def ingest_one(params, state, frames_u8, n_new, key):
+            images = clip_device_preprocess(frames_u8)
             feats = vstream_llava.encode_frames(params, cfg, images)
             return star_stream_update(params["ntm"], cfg.star, state, feats,
                                       n_new, key)
@@ -496,12 +500,12 @@ class MultiStreamEngine:
         assert len(clips) == self.n_streams
         imgs, ns = [], []
         for frames in clips:
-            x = clip_preprocess(frames, self.cfg.vit.image_size) if frames \
-                else np.zeros((0, 3, self.cfg.vit.image_size,
-                               self.cfg.vit.image_size), np.float32)
+            x = clip_resize_u8(frames, self.cfg.vit.image_size) if frames \
+                else np.zeros((0, self.cfg.vit.image_size,
+                               self.cfg.vit.image_size, 3), np.uint8)
             n = x.shape[0]
             if n < self.clip_size:
-                pad = np.zeros((self.clip_size - n, *x.shape[1:]), np.float32)
+                pad = np.zeros((self.clip_size - n, *x.shape[1:]), np.uint8)
                 x = np.concatenate([x, pad]) if n else pad
             imgs.append(x[:self.clip_size])
             ns.append(n)
