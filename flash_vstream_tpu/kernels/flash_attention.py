@@ -520,13 +520,11 @@ def flash_attention(
     B, Hq, Sq, D = q.shape
     Skv = k.shape[2]
 
-    def rup(x, m):
-        return -(-x // m) * m
-
-    # adapt block sizes to short sequences so padding stays at the 128-tile
-    # granularity (e.g. 256-token ViT frames would otherwise pad 2x to 512)
-    block_q = min(512, rup(Sq, 128))
-    block_kv = min(1024, rup(Skv, 128))
+    # Pad sequences only to the 128-tile granularity (e.g. CLIP's 577-token
+    # frames pad to 640, not a 512-block multiple); _prep then picks block
+    # sizes that divide the padded lengths.
+    pad_q = 128
+    pad_kv = 128
 
     def pad_axis(x, axis, mult, value=0.0):
         pad = (-x.shape[axis]) % mult
@@ -538,16 +536,16 @@ def flash_attention(
 
     # Pad head dim to the 128-lane tile (CLIP/Qwen ViT head dims are 64/80):
     # zero-padded q/k leave scores unchanged; padded v channels are sliced off.
-    qp = pad_axis(pad_axis(q, 3, 128), 2, block_q)
-    kp = pad_axis(pad_axis(k, 3, 128), 2, block_kv)
-    vp = pad_axis(pad_axis(v, 3, 128), 2, block_kv)
+    qp = pad_axis(pad_axis(q, 3, 128), 2, pad_q)
+    kp = pad_axis(pad_axis(k, 3, 128), 2, pad_kv)
+    vp = pad_axis(pad_axis(v, 3, 128), 2, pad_kv)
     if q_segment_ids is not None:
-        q_seg = pad_axis(q_segment_ids, 1, block_q, -1)
-        kv_seg = pad_axis(kv_segment_ids, 1, block_kv, -1)
+        q_seg = pad_axis(q_segment_ids, 1, pad_q, -1)
+        kv_seg = pad_axis(kv_segment_ids, 1, pad_kv, -1)
     elif kp.shape[2] != Skv and not causal:
         # non-causal padding needs masking; synthesize segments
-        q_seg = pad_axis(jnp.zeros((B, Sq), jnp.int32), 1, block_q, -1)
-        kv_seg = pad_axis(jnp.zeros((B, Skv), jnp.int32), 1, block_kv, -1)
+        q_seg = pad_axis(jnp.zeros((B, Sq), jnp.int32), 1, pad_q, -1)
+        kv_seg = pad_axis(jnp.zeros((B, Skv), jnp.int32), 1, pad_kv, -1)
     else:
         # causal: padded kv positions sit beyond every real q position, so the
         # causal mask already excludes them.

@@ -27,13 +27,7 @@ from .flash_memory import (
     flash_consolidate,
 )
 from .llm import decoder_forward, embed_tokens, init_llm_params, lm_head
-from .qwen2_vit import (
-    grid_positions,
-    grid_segments,
-    init_qwen_vit_params,
-    patch_merger,
-    qwen_vit_blocks,
-)
+from .qwen2_vit import init_qwen_vit_params, patch_merger, qwen_vit_blocks_frames
 
 
 def init_qwen_params(key: jax.Array, cfg: VStreamQwenConfig,
@@ -79,10 +73,6 @@ class QwenVisualOutput(NamedTuple):
     visual_positions: jnp.ndarray   # [3, n_visual] AM-RoPE block positions
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def encode_video(
     params: dict,
     cfg: VStreamQwenConfig,
@@ -106,7 +96,6 @@ def encode_video(
     all_patches = jnp.concatenate([patches, small], axis=0)
     # attention is block-diagonal per temporal frame, so the uniform-grid
     # encoder batches frames instead of masking a padded [S, S] problem
-    from .qwen2_vit import qwen_vit_blocks_frames
     hidden = qwen_vit_blocks_frames(
         params["vit"], cfg.vit, all_patches,
         t_full=t, hw_full=(h, w),

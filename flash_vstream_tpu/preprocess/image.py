@@ -94,6 +94,44 @@ def clip_resize_u8(frames: Sequence[np.ndarray], image_size: int = 336,
     return np.stack(out)
 
 
+def to_uint8_hwc(frame: np.ndarray) -> np.ndarray:
+    """Normalize any supported frame layout (uint8 HWC, float HWC/CHW in
+    [0,1]) to uint8 HWC."""
+    f = np.asarray(frame)
+    if f.dtype == np.uint8:
+        return f
+    if f.ndim == 3 and f.shape[0] in (1, 3) and f.shape[-1] not in (1, 3):
+        f = f.transpose(1, 2, 0)
+    return np.clip(f * 255.0, 0, 255).astype(np.uint8)
+
+
+def qwen_resize_u8(frames: Sequence[np.ndarray], hw,
+                   pad_to_even: bool = True) -> np.ndarray:
+    """Host half of the Qwen pipeline: any frame layout -> uint8 HWC at the
+    smart-resize target (single fix point shared by the offline pipeline and
+    both streaming engines); optionally pads to an even count (temporal
+    pairs). Device half: qwen_device_preprocess."""
+    nh, nw = hw
+    out = []
+    for f in frames:
+        f = to_uint8_hwc(f)
+        if f.shape[:2] != (nh, nw):
+            from PIL import Image
+            f = np.asarray(Image.fromarray(f).resize((nw, nh), Image.BICUBIC))
+        out.append(f)
+    if pad_to_even and len(out) % 2:
+        out.append(out[-1])
+    return np.stack(out)
+
+
+def frame_hw(frame: np.ndarray):
+    """(H, W) of a frame in any supported layout."""
+    f = np.asarray(frame)
+    if f.ndim == 3 and f.shape[0] in (1, 3) and f.shape[-1] not in (1, 3):
+        return f.shape[1], f.shape[2]
+    return f.shape[0], f.shape[1]
+
+
 def clip_device_preprocess(frames_u8):
     """Device half: uint8 [T, S, S, 3] -> normalized [T, 3, S, S] (jnp,
     lives inside the encode jit)."""

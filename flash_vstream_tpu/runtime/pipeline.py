@@ -143,21 +143,11 @@ class QwenPipeline:
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0) -> str:
-        from ..preprocess.image import _resize_bilinear, _to_float_chw, smart_resize
-        f0 = np.asarray(frames[0])
-        nh, nw = smart_resize(f0.shape[0], f0.shape[1], factor=56,
-                              max_pixels=self.max_pixels)
-        arr = []
-        for f in frames:
-            f = np.asarray(f)
-            if f.shape[:2] != (nh, nw):
-                f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
-                            * 255.0, 0, 255).transpose(1, 2, 0)
-            arr.append(f.astype(np.uint8))
-        if len(arr) % 2:
-            arr.append(arr[-1])            # temporal-pair padding
-        frames_u8 = np.stack(arr)
-        grid = (len(arr) // 2, nh // 14, nw // 14)
+        from ..preprocess.image import frame_hw, qwen_resize_u8, smart_resize
+        H, W = frame_hw(frames[0])
+        nh, nw = smart_resize(H, W, factor=56, max_pixels=self.max_pixels)
+        frames_u8 = qwen_resize_u8(frames, (nh, nw))
+        grid = (len(frames_u8) // 2, nh // 14, nw // 14)
         vis = self._encode_fn(grid)(self.params, jnp.asarray(frames_u8),
                                     jax.random.PRNGKey(seed))
 

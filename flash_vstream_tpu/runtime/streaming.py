@@ -44,14 +44,10 @@ from ..models.star_memory import (
 )
 from ..ops.pooling import qwen_temporal_pool
 from ..preprocess.image import (
-    OPENAI_CLIP_MEAN,
-    OPENAI_CLIP_STD,
-    _resize_bilinear,
-    _to_float_chw,
     clip_device_preprocess,
-    clip_preprocess,
     clip_resize_u8,
     qwen_device_preprocess,
+    qwen_resize_u8,
     smart_resize,
 )
 from ..preprocess.qwen_processor import build_video_prompt
@@ -223,14 +219,8 @@ class QwenStreamSession:
     def ingest_frames(self, frames: Sequence[np.ndarray]):
         assert len(frames) <= self.clip_size
         with Timer(self.metrics, "memory_latency_host_preprocess"):
-            nh, nw = self.resize_hw
-            arr = []
-            for f in frames:
-                f = np.asarray(f)
-                if f.shape[:2] != (nh, nw):   # resize only when needed
-                    f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
-                                * 255.0, 0, 255).transpose(1, 2, 0)
-                arr.append(f.astype(np.uint8))
+            arr = list(qwen_resize_u8(frames, self.resize_hw,
+                                      pad_to_even=False))
             n = len(arr)
             while len(arr) % 2 or len(arr) < self.clip_size:
                 arr.append(arr[-1])
@@ -361,13 +351,8 @@ class QwenMultiStreamEngine:
         nh, nw = sess.resize_hw
         frames, ns = [], []
         for clip in clips:
-            arr = []
-            for f in clip:
-                f = np.asarray(f)
-                if f.shape[:2] != (nh, nw):
-                    f = np.clip(_resize_bilinear(_to_float_chw(f), (nh, nw))
-                                * 255.0, 0, 255).transpose(1, 2, 0)
-                arr.append(f.astype(np.uint8))
+            arr = (list(qwen_resize_u8(clip, (nh, nw), pad_to_even=False))
+                   if clip else [])
             n = len(arr)
             while len(arr) % 2 or len(arr) < sess.clip_size:
                 arr.append(arr[-1] if arr else
