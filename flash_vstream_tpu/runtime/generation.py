@@ -135,6 +135,9 @@ class Generator:
         """Shared batched greedy decode for B concurrent prompts
         (BASELINE config #5: one fused decode loop serves every stream)."""
         B, S, _ = embeds.shape
+        assert S + gen.max_new_tokens <= self.max_len, (
+            f"prompt ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
+            f"the KV cache capacity ({self.max_len}); raise max_len")
         cache = self.new_cache(B)
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)
@@ -172,6 +175,9 @@ class Generator:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
         assert B == 1, "generation currently supports batch=1 per stream"
+        assert S + gen.max_new_tokens <= self.max_len, (
+            f"prompt ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
+            f"the KV cache capacity ({self.max_len}); raise max_len")
         cache = self.new_cache(B)
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)

@@ -76,21 +76,26 @@ class LLaVAStreamSession:
         def ingest(params, state, frames_u8, n_new, key):
             images = clip_device_preprocess(frames_u8)
             feats = vstream_llava.encode_frames(params, cfg, images)
-            return star_stream_update(params["ntm"], cfg.star, state, feats,
-                                      n_new, key)
+            state = star_stream_update(params["ntm"], cfg.star, state, feats,
+                                       n_new, key)
+            # emit a (non-donated) memory snapshot so answers can run on a
+            # different host thread while the next ingest donates `state`
+            return state, star_memory_tokens(cfg.star, state)
         # donate the state so the update happens in-place in HBM; params are
         # jit arguments (closures would inline weights as HLO constants)
         self._ingest = jax.jit(ingest, donate_argnums=(1,))
+        self._snapshot = None
+        self._n_frames = 0
 
-        def assemble(params, state, pre_ids, post_ids, n_mem):
+        def assemble(params, mem_tokens, mem_valid, pre_ids, post_ids, n_mem):
             """Snapshot -> prompt embeddings, entirely on device (one
             dispatch instead of eager per-op round trips)."""
             from ..models.llm import embed_tokens
             from ..models.projector import project
-            from ..models.star_memory import star_memory_tokens
+            from ..models.star_memory import STARMemory
             from ..models.vstream_llava import pack_memory_tokens
-            memory = star_memory_tokens(cfg.star, state)
-            packed = pack_memory_tokens(memory, n_mem)
+            packed = pack_memory_tokens(STARMemory(mem_tokens, mem_valid),
+                                        n_mem)
             proj = project(params["projector"], cfg.projector, packed)
             dtype = params["llm"]["embed"].dtype
             embeds = jnp.concatenate([
@@ -99,7 +104,7 @@ class LLaVAStreamSession:
                 embed_tokens(params["llm"], post_ids[None]),
             ], axis=1)
             return embeds
-        self._assemble = jax.jit(assemble, static_argnums=(4,))
+        self._assemble = jax.jit(assemble, static_argnums=(5,))
         self._step = 0
 
     def ingest_frames(self, frames: Sequence[np.ndarray]):
@@ -111,9 +116,11 @@ class LLaVAStreamSession:
             if pad > 0:
                 imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
         t0 = time.perf_counter()
-        self.state = self._ingest(self.params, self.state, jnp.asarray(imgs),
-                                  jnp.int32(n), jax.random.PRNGKey(self._step))
+        self.state, self._snapshot = self._ingest(
+            self.params, self.state, jnp.asarray(imgs), jnp.int32(n),
+            jax.random.PRNGKey(self._step))
         self._step += 1
+        self._n_frames += n
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
@@ -121,10 +128,14 @@ class LLaVAStreamSession:
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
+        assert self._snapshot is not None, "no frames ingested yet"
         from ..models.vstream_llava import star_valid_counts
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
-                n_frames = int(self.state.n_frames)
+                # host-tracked count + ingest-output snapshot only: the state
+                # pytree itself may be donated by a concurrent ingest thread
+                n_frames = self._n_frames
+                memory = self._snapshot
                 n_mem = sum(star_valid_counts(self.cfg, n_frames,
                                               streaming=True))
             conv = conv_templates[self.conv_template].copy()
@@ -140,9 +151,9 @@ class LLaVAStreamSession:
             pad_id = self.tokenizer.pad_token_id or 0
             post_p = np.pad(post, (0, qb - q_real), constant_values=pad_id)
 
-            embeds = self._assemble(self.params, self.state,
-                                    jnp.asarray(pre), jnp.asarray(post_p),
-                                    n_mem)
+            embeds = self._assemble(self.params, memory.tokens,
+                                    memory.valid, jnp.asarray(pre),
+                                    jnp.asarray(post_p), n_mem)
             S = embeds.shape[1]
             real = p + n_mem + q_real
             ar = np.arange(S)
@@ -183,7 +194,8 @@ class QwenStreamSession:
         self.state = init_flash_state(cfg.flash_memory, self.p_full,
                                       self.p_small, cfg.vit.hidden_size,
                                       bank_size=bank_size)
-        self._snapshot = None   # (spa_x, spa_pos, tem_x, tem_pos) device arrays
+        self._snapshot = None   # (spa_pos, tem_pos, video_embeds) device arrays
+        self._n_frames = 0      # host-tracked (frame pairs)
         self._step = 0
 
         t_clip = clip_size // 2
@@ -232,6 +244,7 @@ class QwenStreamSession:
             self.params, self.state, jnp.asarray(frames_u8), n_pairs,
             jax.random.PRNGKey(self._step))
         self._step += 1
+        self._n_frames += int(-(-n // 2))
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
@@ -284,8 +297,10 @@ class QwenStreamSession:
         assert self._snapshot is not None, "no frames ingested yet"
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
+                # snapshot arrays are ingest OUTPUTS (never donated), safe to
+                # read while an ingest thread updates the donated state
                 spa_pos, tem_pos, video_embeds = self._snapshot
-                n_frames = int(self.state.n_frames)
+                n_frames = self._n_frames
             fm = self.cfg.flash_memory
             t_dam = min(n_frames, fm.dam_grid_len)
             t_csm = min(n_frames, fm.csm_grid_len)
@@ -342,6 +357,7 @@ class QwenMultiStreamEngine:
             jax.vmap(ingest_one, in_axes=(None, 0, 0, 0, 0)),
             donate_argnums=(1,))
         self._snapshots = None
+        self._n_frames = [0] * n_streams     # host-tracked frame-pair counts
         self._step = 0
 
     def ingest(self, clips: Sequence[Sequence[np.ndarray]]):
@@ -364,6 +380,8 @@ class QwenMultiStreamEngine:
         self.states, self._snapshots = self._vingest(
             self.sess.params, self.states, jnp.asarray(np.stack(frames)),
             jnp.asarray(ns, jnp.int32), keys)
+        for i, n in enumerate(ns):
+            self._n_frames[i] += int(n)
 
     def block(self):
         jax.block_until_ready(self.states.tem_x)
@@ -377,6 +395,7 @@ class QwenMultiStreamEngine:
         sess.state = self._one_state(stream_idx)
         sess._snapshot = jax.tree.map(lambda x: x[stream_idx],
                                       self._snapshots)
+        sess._n_frames = self._n_frames[stream_idx]
         return sess.answer(question, gen)
 
     def answer_all(self, questions: Sequence[str],
@@ -387,8 +406,7 @@ class QwenMultiStreamEngine:
         prompts share a shape; before saturation per-stream visual token
         counts may differ and answers fall back to per-stream decode."""
         sess = self.sess
-        counts = {int(self._one_state(i).n_frames)
-                  for i in range(self.n_streams)}
+        counts = set(self._n_frames)
         fm = sess.cfg.flash_memory
         t_dams = {min(c, fm.dam_grid_len) for c in counts}
         t_csms = {min(c, fm.csm_grid_len) for c in counts}
@@ -399,6 +417,7 @@ class QwenMultiStreamEngine:
         for i, q in enumerate(questions):
             sess.state = self._one_state(i)
             sess._snapshot = jax.tree.map(lambda x: x[i], self._snapshots)
+            sess._n_frames = self._n_frames[i]
             per.append(self._prompt(q))
         S = max(e.shape[1] for e, *_ in per)
         B = self.n_streams
@@ -429,7 +448,7 @@ class QwenMultiStreamEngine:
         sess.state/_snapshot."""
         sess = self.sess
         spa_pos, tem_pos, video_embeds = sess._snapshot
-        n_frames = int(sess.state.n_frames)
+        n_frames = sess._n_frames
         fm = sess.cfg.flash_memory
         t_dam = min(n_frames, fm.dam_grid_len)
         t_csm = min(n_frames, fm.csm_grid_len)
@@ -449,6 +468,63 @@ class QwenMultiStreamEngine:
             jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
         real = len(pre) + n_vis + q_real
         return embeds, positions, int(decode_start), real
+
+
+class ThreadedIngestor:
+    """Paced frame ingestion on a background host thread.
+
+    The device-side design needs no locks (functional state snapshots), but a
+    long answer blocks the *host* thread that paces ingestion. This restores
+    the reference's producer/consumer concurrency (cli_video_stream.py's
+    simulator+manager processes) with one thread instead of three processes:
+    the thread paces clips at the target fps and dispatches ingest jits;
+    answer() runs on the caller's thread concurrently. Python-level handoff
+    is a single reference swap (GIL-atomic); readers always see a complete
+    state pytree.
+    """
+
+    def __init__(self, session, frame_iter, fps: float, clip_size: int):
+        import threading
+        self.session = session
+        self.frames = list(frame_iter)
+        self.fps = fps
+        self.clip_size = clip_size
+        self.frames_ingested = 0
+        self.missed_deadlines = 0
+        self._stop = threading.Event()
+        self._done = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _run(self):
+        interval = self.clip_size / self.fps if self.fps > 0 else 0.0
+        start = time.perf_counter()
+        i = 0
+        while i < len(self.frames) and not self._stop.is_set():
+            clip = self.frames[i:i + self.clip_size]
+            deadline = start + (i + len(clip)) / self.fps if self.fps > 0 \
+                else 0.0
+            self.session.ingest_frames(clip)
+            i += len(clip)
+            self.frames_ingested = i
+            now = time.perf_counter()
+            if self.fps > 0:
+                if now > deadline + 1e-3:
+                    self.missed_deadlines += 1
+                elif deadline > now:
+                    time.sleep(deadline - now)
+        self.session.block_until_ingested()
+        self._done.set()
+
+    def wait(self, timeout=None) -> bool:
+        return self._done.wait(timeout)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join()
 
 
 class MultiStreamEngine:

@@ -156,3 +156,27 @@ def test_qwen_multi_stream_engine():
     batched = eng.answer_all(qs, gen)
     single = [eng.answer(i, q, gen) for i, q in enumerate(qs)]
     assert batched == single
+
+
+def test_threaded_ingestor():
+    from flash_vstream_tpu.runtime.streaming import ThreadedIngestor
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=512)
+    frames = list(SyntheticSource(12, 56, 56))
+    ing = ThreadedIngestor(sess, frames, fps=0, clip_size=2).start()
+    # answer concurrently while ingestion runs (read only host-tracked
+    # counts + snapshots: the state pytree is donated by the ingest thread)
+    gen = GenerationConfig(max_new_tokens=4)
+    answered = 0
+    while not ing.wait(timeout=0.001):
+        if sess._n_frames > 0:
+            out = sess.answer("Q?", gen)
+            assert isinstance(out, str)
+            answered += 1
+    assert ing.frames_ingested == 12
+    assert sess._n_frames == 6
+    final = sess.answer("Q?", gen)
+    assert isinstance(final, str)
