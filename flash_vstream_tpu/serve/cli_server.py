@@ -108,35 +108,60 @@ def run_server(args) -> dict:
     answers = []
     start = time.perf_counter()
 
-    i = 0
-    while i < len(src):
-        clip = [src[j] for j in range(i, min(i + args.clip_size, len(src)))]
-        target = start + i * frame_interval
-        now = time.perf_counter()
-        if args.play_speed > 0 and now < target:
-            time.sleep(target - now)
-        try:
-            with Timer(metrics, "memory_latency"):
-                session.ingest_frames(clip)
-                if args.sync_every_clip:
-                    session.block_until_ingested()
-        except Exception as e:
-            # keep streaming on a bad clip (reference catches-and-loops,
-            # cli_video_stream.py:201-203)
-            logger.error(f"ingest failed at frame {i}: {e}")
-        i += len(clip)
+    if args.threaded_ingest:
+        # background-thread pacing: long answers never stall ingestion
+        from ..runtime.streaming import ThreadedIngestor
+        ing = ThreadedIngestor(
+            session, list(src),
+            fps=args.fps * args.play_speed if args.play_speed > 0 else 0.0,
+            clip_size=args.clip_size).start()
+        while not ing.wait(timeout=0.05):
+            elapsed = time.perf_counter() - start
+            if getattr(session, "_snapshot", None) is None:
+                continue   # nothing ingested yet (first clip still compiling)
+            if questions and elapsed >= next_q_time:
+                q = questions[q_idx % len(questions)]
+                q_idx += 1
+                next_q_time += args.question_interval
+                with Timer(metrics, "conv_latency"):
+                    ans = session.answer(q, gen)
+                logger.info(f"[t={elapsed:.1f}s frames="
+                            f"{ing.frames_ingested}] Q: {q}\nA: {ans}")
+                answers.append({"t": elapsed, "frames": ing.frames_ingested,
+                                "question": q, "answer": ans})
+        i = ing.frames_ingested
+        metrics.update("missed_clip_deadlines", ing.missed_deadlines)
+    else:
+        i = 0
+        while i < len(src):
+            clip = [src[j] for j in range(i, min(i + args.clip_size,
+                                                 len(src)))]
+            target = start + i * frame_interval
+            now = time.perf_counter()
+            if args.play_speed > 0 and now < target:
+                time.sleep(target - now)
+            try:
+                with Timer(metrics, "memory_latency"):
+                    session.ingest_frames(clip)
+                    if args.sync_every_clip:
+                        session.block_until_ingested()
+            except Exception as e:
+                # keep streaming on a bad clip (reference catches-and-loops,
+                # cli_video_stream.py:201-203)
+                logger.error(f"ingest failed at frame {i}: {e}")
+            i += len(clip)
 
-        elapsed = time.perf_counter() - start
-        if questions and elapsed >= next_q_time:
-            q = questions[q_idx % len(questions)]
-            q_idx += 1
-            next_q_time += args.question_interval
-            with Timer(metrics, "conv_latency"):
-                ans = session.answer(q, gen)
-            logger.info(f"[t={elapsed:.1f}s frames={i}] Q: {q}")
-            logger.info(f"A: {ans}")
-            answers.append({"t": elapsed, "frames": i, "question": q,
-                            "answer": ans})
+            elapsed = time.perf_counter() - start
+            if questions and elapsed >= next_q_time:
+                q = questions[q_idx % len(questions)]
+                q_idx += 1
+                next_q_time += args.question_interval
+                with Timer(metrics, "conv_latency"):
+                    ans = session.answer(q, gen)
+                logger.info(f"[t={elapsed:.1f}s frames={i}] Q: {q}")
+                logger.info(f"A: {ans}")
+                answers.append({"t": elapsed, "frames": i, "question": q,
+                                "answer": ans})
 
     session.block_until_ingested()
     # final question after the stream ends
@@ -178,6 +203,9 @@ def make_parser():
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--output-file", type=str, default=None)
     p.add_argument("--sync-every-clip", action="store_true")
+    p.add_argument("--threaded-ingest", action="store_true",
+                   help="pace ingestion on a background thread so answers "
+                        "never stall the stream")
     p.add_argument("--dry-run", action="store_true")
     return p
 

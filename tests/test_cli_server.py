@@ -58,3 +58,16 @@ def test_cli_server_frame_dir(tmp_path):
     ])
     summary = run_server(args)
     assert summary["frames_ingested"] == 6
+
+
+def test_cli_server_threaded_ingest(tmp_path):
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run", "--threaded-ingest",
+        "--synthetic-frames", "12", "--clip-size", "2",
+        "--fps", "50", "--play_speed", "1.0",
+        "--question", "Q?", "--question_interval", "0.05",
+        "--max-new-tokens", "4",
+    ])
+    summary = run_server(args)
+    assert summary["frames_ingested"] == 12
+    assert len(summary["answers"]) >= 1
