@@ -11,6 +11,9 @@ def enable_compilation_cache(cache_dir: str | None = None):
     cache_dir = cache_dir or os.environ.get(
         "VSTREAM_XLA_CACHE",
         os.path.expanduser("~/.cache/flash_vstream_tpu/xla"))
+    # key by backend: sharing one dir between CPU test processes and TPU runs
+    # corrupts/aborts on deserialization of foreign-backend entries
+    cache_dir = os.path.join(cache_dir, jax.default_backend())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

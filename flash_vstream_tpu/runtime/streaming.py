@@ -520,7 +520,10 @@ class ThreadedIngestor:
         self._done.set()
 
     def wait(self, timeout=None) -> bool:
-        return self._done.wait(timeout)
+        done = self._done.wait(timeout)
+        if done and self._thread.is_alive():
+            self._thread.join()
+        return done
 
     def stop(self):
         self._stop.set()

@@ -129,6 +129,7 @@ def run_server(args) -> dict:
                             f"{ing.frames_ingested}] Q: {q}\nA: {ans}")
                 answers.append({"t": elapsed, "frames": ing.frames_ingested,
                                 "question": q, "answer": ans})
+        ing.stop()     # join the pacing thread before teardown
         i = ing.frames_ingested
         metrics.update("missed_clip_deadlines", ing.missed_deadlines)
     else:
