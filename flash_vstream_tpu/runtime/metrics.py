@@ -8,13 +8,18 @@ streaming latency breakdown names used by the CLIs
 """
 from __future__ import annotations
 
+import threading
 import time
 from typing import Dict, Optional
 
 
 class AverageMeter:
+    """Thread-safe: with --threaded-ingest the same meter is fed from the
+    ingest thread (memory_latency_*) and the answer thread (llm_latency*)."""
+
     def __init__(self, name: str = ""):
         self.name = name
+        self._lock = threading.Lock()
         self.reset()
 
     def reset(self):
@@ -25,11 +30,12 @@ class AverageMeter:
         self.count = 0
 
     def update(self, val: float, n: int = 1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / max(self.count, 1)
-        self.max = max(self.max, val)
+        with self._lock:
+            self.val = val
+            self.sum += val * n
+            self.count += n
+            self.avg = self.sum / max(self.count, 1)
+            self.max = max(self.max, val)
 
     def __str__(self):
         return f"{self.name} val={self.val:.4f} avg={self.avg:.4f} max={self.max:.4f}"
@@ -38,11 +44,14 @@ class AverageMeter:
 class MetricMeter:
     def __init__(self):
         self.meters: Dict[str, AverageMeter] = {}
+        self._lock = threading.Lock()
 
     def update(self, name: str, val: float, n: int = 1):
-        if name not in self.meters:
-            self.meters[name] = AverageMeter(name)
-        self.meters[name].update(val, n)
+        with self._lock:
+            meter = self.meters.get(name)
+            if meter is None:
+                meter = self.meters[name] = AverageMeter(name)
+        meter.update(val, n)
 
     def get(self, name: str) -> Optional[AverageMeter]:
         return self.meters.get(name)

@@ -53,7 +53,7 @@ from ..preprocess.image import (
 from ..preprocess.qwen_processor import build_video_prompt
 from ..preprocess.tokenizer import tokenizer_image_token
 from ..preprocess.prompts import conv_templates
-from .generation import GenerationConfig, Generator
+from .generation import GenerationConfig, Generator, trim_stop_strings
 from .metrics import MetricMeter, Timer
 
 
@@ -84,8 +84,10 @@ class LLaVAStreamSession:
         # donate the state so the update happens in-place in HBM; params are
         # jit arguments (closures would inline weights as HLO constants)
         self._ingest = jax.jit(ingest, donate_argnums=(1,))
-        self._snapshot = None
-        self._n_frames = 0
+        # (memory snapshot, frame count) published as ONE tuple: a single
+        # GIL-atomic reference swap, so a concurrent answer thread never sees
+        # a count from one ingest paired with the snapshot of another
+        self._published = (None, 0)
 
         def assemble(params, mem_tokens, mem_valid, pre_ids, post_ids, n_mem):
             """Snapshot -> prompt embeddings, entirely on device (one
@@ -116,26 +118,32 @@ class LLaVAStreamSession:
             if pad > 0:
                 imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
         t0 = time.perf_counter()
-        self.state, self._snapshot = self._ingest(
+        self.state, snapshot = self._ingest(
             self.params, self.state, jnp.asarray(imgs), jnp.int32(n),
             jax.random.PRNGKey(self._step))
         self._step += 1
-        self._n_frames += n
+        self._published = (snapshot, self._published[1] + n)
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
         jax.block_until_ready(self.state.long)
 
+    @property
+    def n_frames(self) -> int:
+        """Published frame count (paired with the published snapshot)."""
+        return self._published[1]
+
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
-        assert self._snapshot is not None, "no frames ingested yet"
         from ..models.vstream_llava import star_valid_counts
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
-                # host-tracked count + ingest-output snapshot only: the state
-                # pytree itself may be donated by a concurrent ingest thread
-                n_frames = self._n_frames
-                memory = self._snapshot
+                # one read of the published (snapshot, count) pair: the state
+                # pytree itself may be donated by a concurrent ingest thread,
+                # and reading snapshot/count separately could pair a new count
+                # with an old snapshot
+                memory, n_frames = self._published
+                assert memory is not None, "no frames ingested yet"
                 n_mem = sum(star_valid_counts(self.cfg, n_frames,
                                               streaming=True))
             conv = conv_templates[self.conv_template].copy()
@@ -165,7 +173,9 @@ class LLaVAStreamSession:
             out = self.generator.generate(
                 embeds, positions, gen, decode_pos_start=real,
                 segment_ids=seg, last_real_idx=real - 1)
-        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out, skip_special_tokens=True)
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or (conv.stop_str,))
 
 
 class QwenStreamSession:
@@ -194,8 +204,9 @@ class QwenStreamSession:
         self.state = init_flash_state(cfg.flash_memory, self.p_full,
                                       self.p_small, cfg.vit.hidden_size,
                                       bank_size=bank_size)
-        self._snapshot = None   # (spa_pos, tem_pos, video_embeds) device arrays
-        self._n_frames = 0      # host-tracked (frame pairs)
+        # ((spa_pos, tem_pos, video_embeds), frame-pair count) published as
+        # one tuple — single reference swap, safe for a concurrent answer
+        self._published = (None, 0)
         self._step = 0
 
         t_clip = clip_size // 2
@@ -239,16 +250,21 @@ class QwenStreamSession:
             frames_u8 = np.stack(arr)
         t0 = time.perf_counter()
         # frame-pair count actually ingested
-        n_pairs = jnp.int32(-(-n // 2))
-        self.state, self._snapshot = self._ingest(
-            self.params, self.state, jnp.asarray(frames_u8), n_pairs,
-            jax.random.PRNGKey(self._step))
+        n_pairs = -(-n // 2)
+        self.state, snapshot = self._ingest(
+            self.params, self.state, jnp.asarray(frames_u8),
+            jnp.int32(n_pairs), jax.random.PRNGKey(self._step))
         self._step += 1
-        self._n_frames += int(-(-n // 2))
+        self._published = (snapshot, self._published[1] + n_pairs)
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
         jax.block_until_ready(self.state.tem_x)
+
+    @property
+    def n_frames(self) -> int:
+        """Published frame-pair count (paired with the published snapshot)."""
+        return self._published[1]
 
     def _assemble_fn(self, t_dam: int, t_csm: int, P: int, Qb: int):
         """One jitted snapshot->prompt assembly per (memory size, prompt
@@ -294,13 +310,15 @@ class QwenStreamSession:
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
-        assert self._snapshot is not None, "no frames ingested yet"
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
-                # snapshot arrays are ingest OUTPUTS (never donated), safe to
-                # read while an ingest thread updates the donated state
-                spa_pos, tem_pos, video_embeds = self._snapshot
-                n_frames = self._n_frames
+                # one read of the published (snapshot, count) pair: snapshot
+                # arrays are ingest OUTPUTS (never donated), and the paired
+                # count guarantees t_dam/t_csm match this exact snapshot even
+                # if an ingest thread publishes concurrently
+                snapshot, n_frames = self._published
+                assert snapshot is not None, "no frames ingested yet"
+                spa_pos, tem_pos, video_embeds = snapshot
             fm = self.cfg.flash_memory
             t_dam = min(n_frames, fm.dam_grid_len)
             t_csm = min(n_frames, fm.csm_grid_len)
@@ -330,7 +348,10 @@ class QwenStreamSession:
             out = self.generator.generate(
                 embeds, positions, gen, decode_pos_start=decode_start,
                 segment_ids=seg, last_real_idx=real - 1)
-        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out, skip_special_tokens=True)
+        # ChatML assistant turns terminate on <|im_end|>
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or ("<|im_end|>",))
 
 
 class QwenMultiStreamEngine:
@@ -367,6 +388,11 @@ class QwenMultiStreamEngine:
         nh, nw = sess.resize_hw
         frames, ns = [], []
         for clip in clips:
+            # same invariant as QwenStreamSession.ingest_frames: a clip
+            # longer than clip_size would advance _n_frames past what was
+            # actually ingested, desynchronizing t_dam/t_csm and timestamps
+            assert len(clip) <= sess.clip_size, (
+                f"clip of {len(clip)} frames > clip_size {sess.clip_size}")
             arr = (list(qwen_resize_u8(clip, (nh, nw), pad_to_even=False))
                    if clip else [])
             n = len(arr)
@@ -393,9 +419,9 @@ class QwenMultiStreamEngine:
                gen: Optional[GenerationConfig] = None) -> str:
         sess = self.sess
         sess.state = self._one_state(stream_idx)
-        sess._snapshot = jax.tree.map(lambda x: x[stream_idx],
-                                      self._snapshots)
-        sess._n_frames = self._n_frames[stream_idx]
+        sess._published = (
+            jax.tree.map(lambda x: x[stream_idx], self._snapshots),
+            self._n_frames[stream_idx])
         return sess.answer(question, gen)
 
     def answer_all(self, questions: Sequence[str],
@@ -416,8 +442,9 @@ class QwenMultiStreamEngine:
         per = []
         for i, q in enumerate(questions):
             sess.state = self._one_state(i)
-            sess._snapshot = jax.tree.map(lambda x: x[i], self._snapshots)
-            sess._n_frames = self._n_frames[i]
+            sess._published = (
+                jax.tree.map(lambda x: x[i], self._snapshots),
+                self._n_frames[i])
             per.append(self._prompt(q))
         S = max(e.shape[1] for e, *_ in per)
         B = self.n_streams
@@ -440,15 +467,16 @@ class QwenMultiStreamEngine:
             embeds, positions, segments, gen,
             jnp.asarray(starts, jnp.int32),
             last_real_idx=jnp.asarray(last_idx, jnp.int32))
-        return [sess.tokenizer.decode(o, skip_special_tokens=True).strip()
+        stops = tuple(gen.stop_strings) or ("<|im_end|>",)
+        return [trim_stop_strings(
+                    sess.tokenizer.decode(o, skip_special_tokens=True), stops)
                 for o in outs]
 
     def _prompt(self, question: str):
         """(embeds, positions, decode_start, n_real) for the current
-        sess.state/_snapshot."""
+        sess.state/_published."""
         sess = self.sess
-        spa_pos, tem_pos, video_embeds = sess._snapshot
-        n_frames = sess._n_frames
+        (spa_pos, tem_pos, video_embeds), n_frames = sess._published
         fm = sess.cfg.flash_memory
         t_dam = min(n_frames, fm.dam_grid_len)
         t_csm = min(n_frames, fm.csm_grid_len)
@@ -602,7 +630,10 @@ class MultiStreamEngine:
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
         out = self.generator.generate(embeds, positions, gen)
-        return self.tokenizer.decode(out, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out, skip_special_tokens=True)
+        return trim_stop_strings(
+            text,
+            tuple(gen.stop_strings) or (conv_templates["vicuna_v1"].stop_str,))
 
     def answer_all(self, questions: Sequence[str],
                    gen: Optional[GenerationConfig] = None) -> List[str]:
@@ -628,5 +659,8 @@ class MultiStreamEngine:
         outs = self.generator.generate_batch(
             embeds, positions, segments, gen,
             jnp.asarray(starts, jnp.int32))
-        return [self.tokenizer.decode(o, skip_special_tokens=True).strip()
+        stops = (tuple(gen.stop_strings)
+                 or (conv_templates["vicuna_v1"].stop_str,))
+        return [trim_stop_strings(
+                    self.tokenizer.decode(o, skip_special_tokens=True), stops)
                 for o in outs]

@@ -117,7 +117,7 @@ def run_server(args) -> dict:
             clip_size=args.clip_size).start()
         while not ing.wait(timeout=0.05):
             elapsed = time.perf_counter() - start
-            if getattr(session, "_snapshot", None) is None:
+            if session.n_frames == 0:
                 continue   # nothing ingested yet (first clip still compiling)
             if questions and elapsed >= next_q_time:
                 q = questions[q_idx % len(questions)]

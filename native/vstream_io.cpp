@@ -173,15 +173,12 @@ struct Loader {
   std::condition_variable cv_pop, cv_push;
   std::thread worker;
   std::atomic<bool> stop{false};
-  size_t next_decode = 0;
+  bool done = false;  // guarded by mu: no more frames will ever be pushed
 
   void run() {
-    while (!stop.load()) {
-      if (next_decode >= paths.size()) break;
+    for (size_t i = 0; i < paths.size() && !stop.load(); ++i) {
       std::vector<uint8_t> buf(static_cast<size_t>(out_h) * out_w * 3);
-      bool ok = decode_file_to(paths[next_decode].c_str(), out_h, out_w,
-                               buf.data());
-      ++next_decode;
+      bool ok = decode_file_to(paths[i].c_str(), out_h, out_w, buf.data());
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return queue.size() < depth || stop.load(); });
       if (stop.load()) break;
@@ -189,6 +186,11 @@ struct Loader {
       ok_flags.push_back(ok ? 1 : 0);
       cv_pop.notify_one();
     }
+    // Publish exhaustion under the mutex AFTER the last push so a consumer
+    // can never observe exhausted-and-empty while a frame is in flight.
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv_pop.notify_all();
   }
 };
 
@@ -240,10 +242,7 @@ void* vio_loader_create(const char** paths, int n, int out_h, int out_w,
 int vio_loader_next(void* handle, uint8_t* dst) {
   Loader* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
-  l->cv_pop.wait(lk, [&] {
-    return !l->queue.empty() ||
-           (l->next_decode >= l->paths.size() && l->queue.empty());
-  });
+  l->cv_pop.wait(lk, [&] { return !l->queue.empty() || l->done; });
   if (l->queue.empty()) return 0;
   std::vector<uint8_t> buf = std::move(l->queue.front());
   l->queue.pop_front();

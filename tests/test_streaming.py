@@ -172,11 +172,11 @@ def test_threaded_ingestor():
     gen = GenerationConfig(max_new_tokens=4)
     answered = 0
     while not ing.wait(timeout=0.001):
-        if sess._n_frames > 0:
+        if sess.n_frames > 0:
             out = sess.answer("Q?", gen)
             assert isinstance(out, str)
             answered += 1
     assert ing.frames_ingested == 12
-    assert sess._n_frames == 6
+    assert sess.n_frames == 6
     final = sess.answer("Q?", gen)
     assert isinstance(final, str)
