@@ -14,10 +14,10 @@ Design (standard TPU flash-attention schedule):
 - online softmax in f32; inputs may be bf16.
 - GQA folded into the k/v index_map (kv head = q head // group), so grouped
   KV is never materialized per-q-head in HBM.
-- backward: custom_vjp that recomputes attention with the XLA reference and
-  differentiates it (forward stays fused; backward correctness is delegated
-  to XLA). Good enough for LoRA/finetune-scale training; a fused bwd kernel
-  is a later optimization.
+- backward: fused blockwise Pallas kernel (custom_vjp): recomputes the
+  attention probabilities tile-by-tile from q/k/v plus the saved softmax
+  stats and accumulates dq/dk/dv in VMEM scratch — activations are never
+  materialized at [S, S] in HBM.
 
 On non-TPU backends `flash_attention` falls back to the XLA reference so the
 whole stack runs (and is tested) on the CPU mesh.
@@ -57,9 +57,13 @@ def xla_attention(
     if scale is None:
         scale = 1.0 / (D ** 0.5)
     # grouped einsum: q heads fold into a group axis over shared kv heads —
-    # the kv cache is never materialized per-q-head (decode is HBM-bound)
-    qg = q.reshape(B, Hkv, g, Sq, D).astype(jnp.float32)
-    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k.astype(jnp.float32)) * scale
+    # the kv cache is never materialized per-q-head (decode is HBM-bound).
+    # f32 accumulate via preferred_element_type WITHOUT casting k/v: an
+    # astype would materialize an f32 copy of the whole cache in HBM,
+    # doubling decode's dominant read.
+    qg = q.reshape(B, Hkv, g, Sq, D)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k,
+                   preferred_element_type=jnp.float32) * scale
     mask = jnp.ones((B, 1, 1, Sq, Skv), bool)
     if causal:
         qi = jnp.arange(Sq)[:, None] + q_offset
@@ -74,7 +78,8 @@ def xla_attention(
     # rows with no visible keys: zero them (softmax of all-masked is uniform)
     any_visible = jnp.any(mask, axis=-1, keepdims=True)
     p = jnp.where(any_visible, p, 0.0)
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, Hq, Sq, D).astype(q.dtype)
 
 

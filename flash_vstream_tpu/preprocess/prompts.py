@@ -14,6 +14,7 @@ from typing import List, Optional, Tuple
 class SeparatorStyle(Enum):
     SINGLE = auto()
     TWO = auto()
+    MPT = auto()
     PLAIN = auto()
     LLAMA_2 = auto()
     CHATML = auto()
@@ -47,6 +48,15 @@ class Conversation:
                     ret += role + ": " + message + seps[i % 2]
                 else:
                     ret += role + ":"
+            return ret
+        if self.sep_style == SeparatorStyle.MPT:
+            # roles carry their own "\n" suffix (conversation.py:63-71)
+            ret = self.system + self.sep
+            for role, message in messages:
+                if message:
+                    ret += role + message + self.sep
+                else:
+                    ret += role
             return ret
         if self.sep_style == SeparatorStyle.PLAIN:
             seps = [self.sep, self.sep2]
@@ -84,6 +94,13 @@ class Conversation:
                     ret += f"<|im_start|>{role}\n"
             return ret
         raise ValueError(f"Invalid style: {self.sep_style}")
+
+    @property
+    def stop_str(self) -> str:
+        """Generation stop keyword: the assistant-turn terminator
+        (model_msvd_qa_featuresloader.py:147-149)."""
+        return (self.sep if self.sep_style != SeparatorStyle.TWO
+                else self.sep2)
 
     def append_message(self, role: str, message: Optional[str]):
         self.messages.append([role, message])
@@ -129,6 +146,28 @@ conv_llama_2 = Conversation(
     version="llama_v2",
 )
 
+conv_mpt = Conversation(
+    system="<|im_start|>system\n"
+           "A conversation between a user and an LLM-based AI assistant. "
+           "The assistant gives helpful and honest answers.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="<|im_end|>",
+    version="mpt",
+)
+
+conv_tiny = Conversation(
+    system="<|system|>\n"
+           "A conversation between a user and an AI assistant. "
+           "The assistant gives short and honest answers.",
+    roles=("<|user|>\n", "<|assistant|>\n"),
+    messages=[],
+    sep_style=SeparatorStyle.MPT,
+    sep="</s>",
+    version="mpt",
+)
+
 conv_chatml = Conversation(
     system="You are a helpful assistant.",
     roles=("user", "assistant"),
@@ -143,6 +182,8 @@ conv_templates = {
     "vicuna_v1": conv_vicuna_v1,
     "plain": conv_plain,
     "llama_2": conv_llama_2,
+    "mpt": conv_mpt,
+    "tiny": conv_tiny,
     "chatml": conv_chatml,
 }
 default_conversation = conv_vicuna_v1

@@ -27,6 +27,19 @@ class GenerationConfig:
     top_p: float = 1.0
     eos_token_ids: Sequence[int] = ()
     seed: int = 0
+    # conversation-separator stop keywords (reference stops on conv.sep2,
+    # model_msvd_qa_featuresloader.py:147-156); applied by trim_stop_strings
+    # and, on the stepwise path, via KeywordsStoppingCriteria
+    stop_strings: Sequence[str] = ()
+
+
+def trim_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
+    """Cut the answer at the first conversation-separator keyword (the
+    reference's outputs.strip(stop_str), model_msvd_qa_featuresloader.py:156)."""
+    for s in stop_strings:
+        if s and s in text:
+            text = text.split(s)[0]
+    return text.strip()
 
 
 def _sample(logits: jnp.ndarray, gen: "GenerationConfig", key) -> jnp.ndarray:
@@ -171,6 +184,7 @@ class Generator:
         stream: bool = False,                # stepwise decode (text streaming)
         segment_ids: Optional[jnp.ndarray] = None,  # [B, S]; -1 = padding
         last_real_idx=None,                  # logits position (right-padded)
+        stopping=None,   # KeywordsStoppingCriteria (stepwise path only)
     ) -> List[int]:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
@@ -205,6 +219,8 @@ class Generator:
             t = int(tok[0])
             out.append(t)
             if t in gen.eos_token_ids:
+                break
+            if stopping is not None and stopping.should_stop(out):
                 break
             key, sub = jax.random.split(key)
             logits, cache = self._step(self.params, tok,

@@ -26,7 +26,7 @@ from ..preprocess.image import (clip_device_preprocess, clip_preprocess,
 from ..preprocess.prompts import conv_templates
 from ..preprocess.qwen_processor import build_video_prompt
 from ..preprocess.tokenizer import ByteTokenizer, tokenizer_image_token
-from .generation import GenerationConfig, Generator
+from .generation import GenerationConfig, Generator, trim_stop_strings
 
 
 def _bucket(n: int, sizes=(8, 16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -89,7 +89,9 @@ class LLaVAPipeline:
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
         out_ids = self.generator.generate(embeds, positions, gen)
-        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or (conv.stop_str,))
 
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0,
@@ -112,7 +114,9 @@ class LLaVAPipeline:
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
         out_ids = self.generator.generate(embeds, positions, gen)
-        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or (conv.stop_str,))
 
 
 class QwenPipeline:
@@ -162,4 +166,7 @@ class QwenPipeline:
         decode_start = len(input_ids) + int(rope_delta)
         out_ids = self.generator.generate(embeds, positions, gen,
                                           decode_pos_start=decode_start)
-        return self.tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        # ChatML assistant turns terminate on <|im_end|>
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or ("<|im_end|>",))
