@@ -251,6 +251,56 @@ def mha(
     return out, new_cache
 
 
+def mha_decode(
+    params: dict,
+    x: jnp.ndarray,                      # [B, 1, D] single decode token
+    *,
+    num_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    rope: Tuple[jnp.ndarray, jnp.ndarray],
+    kc_all: jnp.ndarray,                 # [L, B, Hkv, Smax, D] stacked cache
+    vc_all: jnp.ndarray,
+    layer: jnp.ndarray,                  # [] int32 layer index
+    cache_len: jnp.ndarray,              # [] int32 filled prefix
+    cache_segments: Optional[jnp.ndarray],   # [B, Smax] (-1 padding)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode-step attention updating the FULL stacked cache in place.
+
+    The prefill path threads per-layer cache slices through a scan, which
+    restacks the whole [L, B, Hkv, Smax, D] buffers every call — fine once
+    per prompt, but at decode that HBM copy dominates the step. Here the new
+    token's k/v write into the stacked buffers with a [1,B,Hkv,1,D]
+    dynamic_update_slice (bytes ~ B*Hkv*D, not the cache size), which XLA
+    performs in place on the loop-carried buffer.
+    """
+    B, S, D = x.shape
+    q = dense(x, params["wq"]["w"], params["wq"].get("b"))
+    k = dense(x, params["wk"]["w"], params["wk"].get("b"))
+    v = dense(x, params["wv"]["w"], params["wv"].get("b"))
+    q = q.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, num_kv_heads, head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, *rope)
+    k = apply_rope(k, *rope)
+
+    start = (layer, 0, 0, cache_len, 0)
+    kc_all = jax.lax.dynamic_update_slice(kc_all, k[None].astype(kc_all.dtype),
+                                          start)
+    vc_all = jax.lax.dynamic_update_slice(vc_all, v[None].astype(vc_all.dtype),
+                                          start)
+    kc = jax.lax.dynamic_index_in_dim(kc_all, layer, 0, keepdims=False)
+    vc = jax.lax.dynamic_index_in_dim(vc_all, layer, 0, keepdims=False)
+    q_seg = (jnp.zeros((B, S), jnp.int32)
+             if cache_segments is not None else None)
+    out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len,
+                          q_segment_ids=q_seg,
+                          kv_segment_ids=cache_segments)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, num_heads * head_dim)
+    out = dense(out, params["wo"]["w"], params["wo"].get("b"))
+    return out, kc_all, vc_all
+
+
 def swiglu_mlp(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     gate = dense(x, params["gate"]["w"])
     up = dense(x, params["up"]["w"])

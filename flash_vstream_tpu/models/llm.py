@@ -120,6 +120,37 @@ def decoder_forward(
             return x, None
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
+    elif input_embeds.shape[1] == 1:
+        # decode step: fori_loop over layers with in-place updates on the
+        # FULL stacked cache (layers.mha_decode). The scan path below would
+        # restack [L, B, Hkv, Smax, D] k/v buffers every token — that HBM
+        # copy (~cache size per step) dominated decode latency at 7B.
+        from .layers import mha_decode
+        seg_new = (segment_ids if segment_ids is not None
+                   else jnp.zeros((input_embeds.shape[0], 1), jnp.int32))
+        cache = cache.with_segments(seg_new)
+
+        def body(l, state):
+            x, kc_all, vc_all = state
+            layer_params = jax.tree.map(
+                lambda p: jax.lax.dynamic_index_in_dim(p, l, 0,
+                                                       keepdims=False),
+                params["layers"])
+            h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
+            attn_out, kc_all, vc_all = mha_decode(
+                layer_params["attn"], h,
+                num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim, rope=(cos, sin),
+                kc_all=kc_all, vc_all=vc_all, layer=l,
+                cache_len=cache.length, cache_segments=cache.segments)
+            x = x + attn_out
+            h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
+            x = x + swiglu_mlp(layer_params["mlp"], h)
+            return x, kc_all, vc_all
+
+        x, nk, nv = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                      (x, cache.k, cache.v))
+        new_cache = cache._replace(k=nk, v=nv).advance(1)
     else:
         S = input_embeds.shape[1]
         seg_new = (segment_ids if segment_ids is not None
