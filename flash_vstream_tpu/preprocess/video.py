@@ -91,6 +91,24 @@ def load_frame_dir(path: str, fps: float = 1.0, source_fps: float = 1.0,
     return FrameSource(frames, fps)
 
 
+def probe_video_hw(path: str) -> tuple:
+    """(height, width) of a video's frames without decoding them all.
+
+    Frame dirs read the first image's header via PIL (no pixel decode);
+    registered decoders fall back to decoding one frame."""
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path)
+                       if n.lower().endswith((".jpg", ".jpeg", ".png")))
+        if not names:
+            raise FileNotFoundError(f"no frames in {path}")
+        from PIL import Image
+        with Image.open(os.path.join(path, names[0])) as im:
+            w, h = im.size
+        return h, w
+    frame = load_video(path, max_frames=1)[0]
+    return tuple(np.asarray(frame).shape[:2])
+
+
 def load_video(path: str, fps: float = 1.0,
                max_frames: Optional[int] = None) -> FrameSource:
     """Load frames from a video file or frame directory."""

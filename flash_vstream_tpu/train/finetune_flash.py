@@ -49,23 +49,65 @@ def build_synthetic_dataset(path: str, n_items: int = 8, n_frames: int = 6,
 
 
 def preprocess_qwen_sample(item: dict, tokenizer, cfg, grid,
-                           max_len: int = 512):
-    """ChatML ids + labels (assistant-only supervision) + video span.
+                           max_len: int = 512,
+                           system_message: str = "You are a helpful assistant."):
+    """Multi-turn ChatML ids + labels + video span.
 
-    Mirrors finetune_flash.py:190-364's hand-built token stream."""
-    from ..preprocess.qwen_processor import build_video_prompt
-    convs = item["conversations"]
-    q = convs[0]["value"].replace("<video>", "").replace("<image>", "").strip()
-    a = convs[1]["value"]
-    input_ids, span = build_video_prompt(cfg, tokenizer, q, grid=grid)
-    if hasattr(tokenizer, "special_id"):
-        ans_ids = tokenizer.encode(a, add_bos=False) + [tokenizer.eos_token_id]
-    else:
-        ans_ids = tokenizer.encode(a, add_special_tokens=False) + [
-            tokenizer.eos_token_id]
-    ids = np.concatenate([input_ids, np.asarray(ans_ids, np.int64)])
-    labels = np.full_like(ids, IGNORE_INDEX)
-    labels[len(input_ids):] = ids[len(input_ids):]
+    Mirrors the reference's hand-built token stream
+    (Flash-VStream-Qwen/finetune_flash.py:190-364): the system block and all
+    user turns are IGNORE; the FIRST user turn carries the expanded
+    <|vision_start|><|video_pad|>*N<|vision_end|> block; every assistant turn
+    supervises its answer tokens + <|im_end|> but not the role header or the
+    trailing newline."""
+    from ..models.vstream_qwen import visual_token_count
+    from ..preprocess.qwen_processor import (IM_END, IM_START, VIDEO_PAD,
+                                             VISION_END, VISION_START,
+                                             _video_pad_id)
+
+    def enc(text):
+        if hasattr(tokenizer, "special_id"):
+            return tokenizer.encode(text, add_bos=False)
+        return tokenizer.encode(text, add_special_tokens=False)
+
+    pad_tok = _video_pad_id(tokenizer, cfg)
+    dam, csm = visual_token_count(cfg, *grid)
+    n_vis = dam + csm
+
+    ids, labels = [], []
+    system = enc(f"{IM_START}system\n{system_message}{IM_END}\n")
+    ids += system
+    labels += [IGNORE_INDEX] * len(system)
+
+    span = None
+    first_user = True
+    for turn in item["conversations"]:
+        who = turn["from"]
+        text = turn["value"].replace("<video>\n", "").replace(
+            "<image>\n", "").replace("<video>", "").replace("<image>", "")
+        if who in ("human", "user"):
+            if first_user:
+                first_user = False
+                head = enc(f"{IM_START}user\n{VISION_START}")
+                tail = enc(f"{VISION_END}{text}{IM_END}\n")
+                span = (len(ids) + len(head), n_vis)
+                seq = head + [pad_tok] * n_vis + tail
+            else:
+                seq = enc(f"{IM_START}user\n{text}{IM_END}\n")
+            ids += seq
+            labels += [IGNORE_INDEX] * len(seq)
+        else:
+            prefix = enc(f"{IM_START}assistant\n")
+            body = enc(text) + enc(IM_END)
+            nl = enc("\n")
+            ids += prefix + body + nl
+            labels += ([IGNORE_INDEX] * len(prefix) + body
+                       + [IGNORE_INDEX] * len(nl))
+    assert span is not None, "conversation has no user turn"
+    assert span[0] + span[1] <= max_len, (
+        f"video block [{span[0]}, {span[0] + span[1]}) truncated by "
+        f"max_len={max_len}")
+    ids = np.asarray(ids, np.int64)
+    labels = np.asarray(labels, np.int64)
     return ids[:max_len], labels[:max_len], span
 
 
@@ -121,31 +163,35 @@ def run_training(args) -> dict:
                             rank=args.lora_rank, targets=QWEN_TARGETS)
     alpha, rank = args.lora_alpha, args.lora_rank
 
-    # variable grids -> one jitted loss per (grid, seq-len) bucket; samples
-    # resize to a common resolution so the grid is constant, and ids pad to
-    # --max-len
+    # variable grids -> RESOLUTION BUCKETS: items group by their
+    # smart-resize target; each bucket gets its own jitted train step
+    # (shared params/optimizer state), so mixed-resolution datasets train
+    # at their native aspect ratios (the reference resizes per sample,
+    # vision_process.py:44-70) instead of being forced to one resolution.
     max_len = args.max_len
-
-    # pin ONE training resolution so every sample shares a grid (one
-    # compiled step): smart-resize of the first video's resolution
     from ..preprocess.image import smart_resize, _resize_bilinear, _to_float_chw
-    _first = load_video(os.path.join(args.video_dir, items[0]["video"]),
-                        max_frames=1)[0]
-    _h, _w = np.asarray(_first).shape[:2]
-    train_hw = smart_resize(_h, _w, factor=56, max_pixels=args.max_pixels)
+    from ..preprocess.video import probe_video_hw
 
-    def prepare(item):
+    def bucket_of(item):
+        h, w = probe_video_hw(os.path.join(args.video_dir, item["video"]))
+        return smart_resize(h, w, factor=56, max_pixels=args.max_pixels)
+
+    buckets: dict = {}
+    for item in items:
+        buckets.setdefault(bucket_of(item), []).append(item)
+    logger.info(f"resolution buckets: "
+                f"{ {hw: len(v) for hw, v in buckets.items()} }")
+
+    def prepare(item, train_hw):
         src = load_video(os.path.join(args.video_dir, item["video"]),
                          max_frames=args.max_frames)
         frames = list(src)
-        # pad to a fixed frame count so every sample shares one grid (one
+        # pad to a fixed frame count so every bucket shares one grid (one
         # compiled step); short videos repeat their last frame, like the
         # reference's FRAME_FACTOR padding (vision_process.py:118-222)
         target = args.frame_bucket or args.max_frames
         while len(frames) < target:
             frames.append(frames[-1])
-        # force the pinned resolution (mixed-resolution datasets would
-        # otherwise produce per-sample grids and break batching)
         frames = [np.clip(_resize_bilinear(_to_float_chw(np.asarray(f)),
                                            train_hw) * 255, 0, 255)
                   .transpose(1, 2, 0).astype(np.uint8)
@@ -162,30 +208,47 @@ def run_training(args) -> dict:
         return patches, grid, ids, labels, span, seg
 
     def make_loss(grid, span):
-        def loss_fn(lora_params, batch, key):
+        def one_sample(lora_params, patches, ids, labels, seg, key):
             eff = merge_lora(params, lora_params, alpha=alpha, rank=rank)
-            vis_key = key
             from ..models.vstream_qwen import encode_video
-            vis = encode_video(eff, cfg, batch["patches"], grid, key=vis_key)
+            vis = encode_video(eff, cfg, patches, grid, key=key)
             positions, _ = build_qwen_positions(max_len, span[0], span[1],
                                                 vis.visual_positions)
             from ..models.llm import decoder_forward, embed_tokens, lm_head
-            ids = batch["ids"][None]
-            embeds = embed_tokens(eff["llm"], ids)
+            embeds = embed_tokens(eff["llm"], ids[None])
             start, n_vis = span
             embeds = jnp.concatenate([
                 embeds[:, :start],
                 vis.video_embeds[None].astype(embeds.dtype),
                 embeds[:, start + n_vis:]], axis=1)
             h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
-                                   segment_ids=batch["seg"][None], remat=True)
+                                   segment_ids=seg[None], remat=True)
             logits = lm_head(eff["llm"], cfg.llm, h)
-            return cross_entropy_loss(logits, batch["labels"][None])
+            return cross_entropy_loss(logits, labels[None])
+
+        def loss_fn(lora_params, batch, key):
+            # batch leaves [B, ...]; B = per-shard bsz x dp (the trainer
+            # shards this dim over the dp mesh axis)
+            B = batch["ids"].shape[0]
+            losses = jax.vmap(one_sample, in_axes=(None, 0, 0, 0, 0, 0))(
+                lora_params, batch["patches"], batch["ids"],
+                batch["labels"], batch["seg"], jax.random.split(key, B))
+            return jnp.mean(losses)
         return loss_fn
 
-    # build the trainer lazily from the first sample's shapes
-    first = prepare(items[0])
+    # one compiled step per bucket (grid+span fixed within a bucket); the
+    # largest bucket builds the Trainer, the rest share its state
+    order = sorted(buckets, key=lambda hw: -len(buckets[hw]))
+    first_hw = order[0]
+    first = prepare(buckets[first_hw][0], first_hw)
     trainer = Trainer(make_loss(first[1], first[4]), lora, tcfg, mesh=mesh)
+    step_fns = {first_hw: trainer._train_step}
+
+    def step_fn_for(hw):
+        if hw not in step_fns:
+            probe = prepare(buckets[hw][0], hw)
+            step_fns[hw] = trainer.compile_step(make_loss(probe[1], probe[4]))
+        return step_fns[hw]
 
     start_step = 0
     if latest_checkpoint(args.output_dir):
@@ -199,24 +262,40 @@ def run_training(args) -> dict:
 
     import jax.numpy as jnp2
     losses = []
-    idx = start_step * args.grad_accum
+    # per-step microbatch: [grad_accum, B, ...] with B = bsz x dp so the
+    # trainer shards samples over the dp mesh axis (reference ZeRO-2 data
+    # parallel: bs 1/GPU x ga 8 x 8 GPUs, scripts/train_and_eval.sh:55-59)
+    B = args.batch_size * mesh.shape["dp"]
+    # deterministic schedule: each step draws from one resolution bucket,
+    # buckets interleaved proportionally to their size
+    cursors = {hw: 0 for hw in order}
+    schedule = [order[s % len(order)] for s in range(total_steps)]
+    # resume: replay the consumed prefix so data order is checkpoint-stable
+    for s in range(start_step):
+        cursors[schedule[s]] += args.grad_accum * B
     for step in range(start_step, total_steps):
+        hw = schedule[step]
+        bucket_items = buckets[hw]
         micro = []
         for _ in range(args.grad_accum):
-            patches, grid, ids, labels, span, seg = prepare(
-                items[idx % len(items)])
-            idx += 1
-            micro.append((patches, ids, labels, seg))
-        # batch leaves: [grad_accum, ...] for the trainer's accumulation scan
+            rows = []
+            for _ in range(B):
+                rows.append(prepare(
+                    bucket_items[cursors[hw] % len(bucket_items)], hw))
+                cursors[hw] += 1
+            micro.append(tuple(np.stack([r[i] for r in rows])
+                               for i in (0, 2, 3, 5)))
         batch = {
             "patches": jnp2.asarray(np.stack([m[0] for m in micro])),
             "ids": jnp2.asarray(np.stack([m[1] for m in micro])),
             "labels": jnp2.asarray(np.stack([m[2] for m in micro])),
             "seg": jnp2.asarray(np.stack([m[3] for m in micro])),
         }
-        loss = trainer.run_step(batch, jax.random.PRNGKey(step))
+        loss = trainer.run_step(batch, jax.random.PRNGKey(step),
+                                step_fn=step_fn_for(hw))
         losses.append(loss)
-        logger.info(f"step {step + 1}/{total_steps} loss={loss:.4f}")
+        logger.info(f"step {step + 1}/{total_steps} loss={loss:.4f} "
+                    f"bucket={hw} B={B}")
         if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
             save_checkpoint(args.output_dir, step + 1, trainer.params,
                             trainer.opt_state)
@@ -236,6 +315,8 @@ def make_parser():
     p.add_argument("--data-path", default=None)
     p.add_argument("--video-dir", default="")
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="per-dp-shard microbatch size (total = this x dp)")
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--learning-rate", type=float, default=8e-4)

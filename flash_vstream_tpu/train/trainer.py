@@ -133,10 +133,36 @@ class Trainer:
                 out_shardings=self.opt_sharding)(self.params)
         self.step = 0
 
-        accum = cfg.grad_accum
+        self._donate = (0, 1) if donate_params else (1,)
+        self._train_step = self.compile_step(loss_fn)
+
+    def compile_step(self, loss_fn: Callable):
+        """Compile a train step for `loss_fn` sharing this trainer's params,
+        optimizer state and shardings. Used for shape-bucketed training
+        (e.g. one step per video-resolution bucket): each bucket gets its own
+        jitted step, all updating the same state via run_step(..., step_fn=)."""
+        accum = self.cfg.grad_accum
+        dp = self.mesh.shape["dp"]
+        mesh = self.mesh
+
+        def shard_batch(batch):
+            """Split each microbatch over the dp axis (real data
+            parallelism — without this constraint XLA replicates the batch
+            and every device computes every sample). Leaves are
+            [accum, per_step_batch, ...]; the per-step batch dim shards."""
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def one(x):
+                if dp > 1 and x.ndim >= 2 and x.shape[1] % dp == 0:
+                    return jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P(None, "dp")))
+                return x
+            return jax.tree.map(one, batch)
 
         def train_step(params, opt_state, batch, key):
             # batch leaves: [accum, per_step_batch, ...]
+            batch = shard_batch(batch)
+
             def micro(carry, mb):
                 acc, key = carry
                 key, sub = jax.random.split(key)
@@ -150,16 +176,16 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, jnp.mean(losses)
 
-        donate = (0, 1) if donate_params else (1,)
-        self._train_step = jax.jit(
+        return jax.jit(
             train_step,
             out_shardings=(self.param_sharding, self.opt_sharding, None),
-            donate_argnums=donate)
+            donate_argnums=self._donate)
 
-    def run_step(self, batch, key) -> float:
-        """batch leaves shaped [grad_accum, micro_batch, ...]."""
+    def run_step(self, batch, key, step_fn=None) -> float:
+        """batch leaves shaped [grad_accum, micro_batch, ...]; micro_batch
+        should be a multiple of mesh dp so samples shard across devices."""
         with self.mesh:
-            self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, loss = (step_fn or self._train_step)(
                 self.params, self.opt_state, batch, key)
         self.step += 1
         return float(loss)

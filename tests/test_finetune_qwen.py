@@ -1,11 +1,49 @@
-"""Qwen LoRA finetune entry: dry-run loss decreases; LLaVA features eval worker."""
+"""Qwen LoRA finetune entry: dry-run loss decreases; multi-turn ChatML
+supervision golden test; LLaVA features eval worker."""
 import json
 import os
 
 import numpy as np
 
+from flash_vstream_tpu.core.config import IGNORE_INDEX, tiny_qwen_config
 from flash_vstream_tpu.eval import model_video_qa
-from flash_vstream_tpu.train.finetune_flash import make_parser, run_training
+from flash_vstream_tpu.preprocess.qwen_processor import (
+    make_byte_qwen_tokenizer)
+from flash_vstream_tpu.train.finetune_flash import (
+    make_parser, preprocess_qwen_sample, run_training)
+
+
+def test_preprocess_qwen_multiturn_golden():
+    """2-round ChatML conversation: video block in the first user turn only,
+    both answers (+ their <|im_end|>) supervised, headers/user text IGNORE
+    (reference finetune_flash.py:190-364)."""
+    cfg = tiny_qwen_config()
+    tok = make_byte_qwen_tokenizer()
+    item = {"conversations": [
+        {"from": "human", "value": "<video>\nWhat is shown?"},
+        {"from": "gpt", "value": "A red car."},
+        {"from": "human", "value": "And after that?"},
+        {"from": "gpt", "value": "It drives away."},
+    ]}
+    grid = (2, 4, 4)   # tiny grid
+    ids, labels, span = preprocess_qwen_sample(item, tok, cfg, grid,
+                                               max_len=512)
+    start, n_vis = span
+    pad_tok = tok.special_id("<|video_pad|>")
+    # the video block sits exactly at the span, only in the first user turn
+    assert (ids[start:start + n_vis] == pad_tok).all()
+    assert (ids == pad_tok).sum() == n_vis
+    # supervised text = both answers and nothing else
+    sup = labels != IGNORE_INDEX
+    text = tok.decode([t for t in labels[sup] if 0 <= t < 256])
+    assert "A red car." in text and "It drives away." in text
+    assert "What is shown?" not in text and "And after that?" not in text
+    assert "helpful assistant" not in text
+    # each supervised run ends with <|im_end|>
+    im_end = tok.special_id("<|im_end|>")
+    assert (labels == im_end).sum() == 2
+    # ids/labels aligned wherever supervised
+    np.testing.assert_array_equal(ids[sup], labels[sup])
 
 
 def test_qwen_lora_dry_run(tmp_path):

@@ -73,6 +73,27 @@ def test_training_loss_decreases(rng):
     assert "dp" in spec
 
 
+def test_batch_shards_over_dp(rng):
+    """Real data parallelism: the per-step batch dim is constrained to the
+    'dp' mesh axis inside the compiled step (not replicated)."""
+    mesh = create_mesh(dp=4, tp=2)
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    observed = []
+
+    def loss(params, batch, key):
+        jax.debug.inspect_array_sharding(
+            batch["ids"], callback=lambda s: observed.append(s))
+        return lm_loss(params, batch, key)
+
+    cfg = TrainConfig(learning_rate=1e-2, total_steps=4, grad_accum=2,
+                      warmup_ratio=0.0)
+    tr = Trainer(loss, params, cfg, mesh=mesh)
+    tr.run_step(make_batch(rng, 2, 4, 16), jax.random.PRNGKey(0))
+    assert observed, "sharding inspection did not run"
+    # the microbatch [4, 16] ids shard their sample dim over dp
+    assert any("dp" in str(s.spec) for s in observed), observed
+
+
 def test_frozen_params_unchanged(rng):
     params = init_llm_params(jax.random.PRNGKey(0), CFG)
     cfg = TrainConfig(learning_rate=1e-2, total_steps=10,
