@@ -111,7 +111,15 @@ def probe_video_hw(path: str) -> tuple:
 
 def load_video(path: str, fps: float = 1.0,
                max_frames: Optional[int] = None) -> FrameSource:
-    """Load frames from a video file or frame directory."""
+    """Load frames from a video file or frame directory.
+
+    MP4/MOV resolution order:
+    1. a registered decoder for the extension (register_video_decoder),
+    2. a sibling frame directory (path minus extension) — the documented
+       extract-frames-first flow (scripts/extract_frames.py),
+    3. the built-in pure-python MJPEG-in-mp4 demuxer (preprocess/mp4.py).
+    H.264 content without extracted frames raises with instructions.
+    """
     if os.path.isdir(path):
         return load_frame_dir(path, fps=fps, max_frames=max_frames)
     ext = os.path.splitext(path)[1].lower().lstrip(".")
@@ -121,6 +129,13 @@ def load_video(path: str, fps: float = 1.0,
             idx = np.linspace(0, len(frames) - 1, max_frames).round().astype(int)
             frames = [frames[i] for i in idx]
         return FrameSource(list(frames), fps)
+    if ext in ("mp4", "mov", "m4v"):
+        sibling = os.path.splitext(path)[0]
+        if os.path.isdir(sibling):
+            return load_frame_dir(sibling, fps=fps, max_frames=max_frames)
+        from .mp4 import decode_mjpeg
+        frames = decode_mjpeg(path, fps=fps, max_frames=max_frames)
+        return FrameSource(frames, fps)
     raise RuntimeError(
         f"No decoder registered for .{ext}. This image has no FFmpeg/decord; "
         "pre-extract frames to a directory (scripts/extract_frames.py "

@@ -102,6 +102,7 @@ class DataConfig:
     conv_version: str = "v1"              # or "plain"
     frame_bucket: int = 64
     max_text_len: int = 512
+    image_size: int = 224                 # host resize target for raw media
 
 
 class SupervisedVideoDataset:
@@ -162,12 +163,25 @@ class SupervisedVideoDataset:
                             np.asarray(feats, np.float32))
                         out["n_frames"] = out["features"].shape[0]
                     else:
+                        # raw-video branch (reference train.py:764-793):
+                        # decode frames, CLIP pad-to-square + resize on host
+                        from ..preprocess.image import clip_resize_u8
                         from ..preprocess.video import load_video
                         src = load_video(
                             os.path.join(self.cfg.video_dir, item["video"]),
                             max_frames=self.cfg.video_max_frames)
-                        out["frames"] = list(src)
+                        out["frames"] = list(
+                            clip_resize_u8(list(src), self.cfg.image_size))
                         out["n_frames"] = len(out["frames"])
+                elif "image" in item:
+                    # single-image branch (reference train.py:694-716):
+                    # full patch features spliced without memory compression
+                    from PIL import Image
+                    from ..preprocess.image import clip_resize_u8
+                    img = np.asarray(Image.open(os.path.join(
+                        self.cfg.video_dir, item["image"])).convert("RGB"))
+                    out["image_frame"] = clip_resize_u8(
+                        [img], self.cfg.image_size)[0]
                 return out
             except Exception as e:
                 if attempt == self.retries - 1:
@@ -239,13 +253,17 @@ def collate_llava(samples: List[dict], frame_bucket: int, pad_id: int,
         input_ids[b, P] = IMAGE_TOKEN_INDEX
         input_ids[b, P + 1:P + 1 + len(posts[b])] = posts[b]
 
-    # features / frames
+    # features / frames / single image
     if "features" in samples[0]:
         Pp, D = samples[0]["features"].shape[1:]
         feats = np.zeros((B, frame_bucket, Pp, D), np.float32)
         for b, s in enumerate(samples):
             feats[b, :s["n_frames"]] = s["features"]
         media = {"features": feats}
+        n_frames = [min(s["n_frames"], frame_bucket) for s in samples]
+    elif "image_frame" in samples[0]:
+        media = {"image": np.stack([s["image_frame"] for s in samples])}
+        n_frames = [1] * B
     else:
         shp = samples[0]["frames"][0].shape
         frames = np.zeros((B, frame_bucket, *shp), np.uint8)
@@ -253,16 +271,32 @@ def collate_llava(samples: List[dict], frame_bucket: int, pad_id: int,
             for t, f in enumerate(s["frames"][:frame_bucket]):
                 frames[b, t] = f
         media = {"frames": frames}
+        n_frames = [min(s["n_frames"], frame_bucket) for s in samples]
 
-    n_frames = np.asarray([min(s["n_frames"], frame_bucket) for s in samples],
-                          np.int32)
     return {
-        "input_ids": input_ids, "image_slot": P, "n_frames": n_frames,
+        "input_ids": input_ids, "image_slot": P,
+        "n_frames": np.asarray(n_frames, np.int32),
         "pre_lens": np.asarray([len(x) for x in pres], np.int32),
         "labels_pre": _pad_left([l for l in lpres], P),
         "labels_post": _pad_right([l for l in lposts], Q),
         **media,
     }
+
+
+def collate_text(samples: List[dict], pad_id: int, fixed_len: int
+                 ) -> Dict[str, np.ndarray]:
+    """Text-only batch (no media, no splice): right-padded fixed shape
+    (reference text-only path, train.py:803-816)."""
+    B = len(samples)
+    ids = np.full((B, fixed_len), pad_id, np.int64)
+    labels = np.full((B, fixed_len), IGNORE_INDEX, np.int64)
+    seg = np.full((B, fixed_len), -1, np.int32)
+    for b, s in enumerate(samples):
+        x, l = s["input_ids"][:fixed_len], s["labels"][:fixed_len]
+        ids[b, :len(x)] = x
+        labels[b, :len(l)] = l
+        seg[b, :len(x)] = 0
+    return {"input_ids": ids, "labels": labels, "segments": seg}
 
 
 def _pad_left(xs, n):

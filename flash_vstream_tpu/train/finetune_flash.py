@@ -255,8 +255,7 @@ def run_training(args) -> dict:
         step, payload = restore_checkpoint(
             args.output_dir, template={"params": trainer.params,
                                        "opt_state": trainer.opt_state})
-        trainer.params, trainer.opt_state = (payload["params"],
-                                             payload["opt_state"])
+        trainer.load_state(payload["params"], payload["opt_state"])
         start_step = step
         logger.info(f"resumed from checkpoint-{step}")
 

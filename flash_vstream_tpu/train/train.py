@@ -6,10 +6,12 @@ everything but the vision tower with vicuna_v1), length-grouped batching,
 checkpoint auto-resume. Runs on a dp x tp mesh with ZeRO-sharded optimizer
 states instead of DeepSpeed.
 
-Training consumes precomputed ViT features (the reference's feature-mode
-pipeline, train.py:700-760, which is also its canonical recipe: features are
-extracted once, training never re-runs the frozen tower). --dry-run trains
-the tiny config on synthetic data.
+Training consumes precomputed ViT features (the reference's canonical
+feature-mode pipeline, train.py:700-760), raw video frame dirs (the frozen
+tower runs inside the loss, train.py:764-793), single images
+(train.py:694-716), and text-only conversations — each modality gets its own
+fixed-shape compiled step. --dry-run trains the tiny config on synthetic
+data (--synthetic-raw for the frames/image/text branches).
 """
 from __future__ import annotations
 
@@ -44,6 +46,50 @@ def build_synthetic_dataset(path: str, tokenizer, n_items: int = 16,
     return data_path, os.path.join(path, "feats")
 
 
+def build_synthetic_raw_dataset(path: str, n_videos: int = 4,
+                                n_images: int = 2, n_text: int = 2,
+                                n_frames: int = 4, side: int = 112):
+    """Synthetic raw media: JPEG frame dirs + single images + text-only
+    conversations, exercising every dataset branch (reference
+    train.py:679-816)."""
+    from PIL import Image
+    media = os.path.join(path, "media")
+    os.makedirs(media, exist_ok=True)
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(n_videos):
+        d = os.path.join(media, f"v{i}")
+        os.makedirs(d, exist_ok=True)
+        for t in range(n_frames):
+            Image.fromarray(rng.integers(0, 255, (side, side, 3),
+                                         dtype=np.uint8)
+                            ).save(os.path.join(d, f"{t:06d}.jpg"))
+        items.append({
+            "id": f"v{i}", "video": f"v{i}",
+            "conversations": [
+                {"from": "human", "value": f"<image>\nWhat is in video {i}?"},
+                {"from": "gpt", "value": f"Scene {i} with motion."}]})
+    for i in range(n_images):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+                        ).save(os.path.join(media, name))
+        items.append({
+            "id": f"i{i}", "image": name,
+            "conversations": [
+                {"from": "human", "value": f"<image>\nDescribe image {i}."},
+                {"from": "gpt", "value": f"A colorful pattern {i}."}]})
+    for i in range(n_text):
+        items.append({
+            "id": f"t{i}",
+            "conversations": [
+                {"from": "human", "value": f"Say the number {i}."},
+                {"from": "gpt", "value": f"The number is {i}."}]})
+    data_path = os.path.join(path, "train.json")
+    with open(data_path, "w") as f:
+        json.dump(items, f)
+    return data_path, media
+
+
 def run_training(args) -> dict:
     import jax
     import jax.numpy as jnp
@@ -61,7 +107,7 @@ def run_training(args) -> dict:
     from . import recipes
     from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
     from .data import (DataConfig, SupervisedVideoDataset, collate_llava,
-                       length_grouped_indices, spliced_labels,
+                       collate_text, length_grouped_indices, spliced_labels,
                        spliced_segments)
     from .trainer import Trainer
 
@@ -72,23 +118,39 @@ def run_training(args) -> dict:
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
         tokenizer = ByteTokenizer()
         if not args.data_path:
-            args.data_path, args.feature_dir = build_synthetic_dataset(
-                os.path.join(args.output_dir, "synthetic"), tokenizer)
+            if args.synthetic_raw:
+                args.data_path, args.video_dir = build_synthetic_raw_dataset(
+                    os.path.join(args.output_dir, "synthetic"),
+                    side=cfg.vit.image_size)
+            else:
+                args.data_path, args.feature_dir = build_synthetic_dataset(
+                    os.path.join(args.output_dir, "synthetic"), tokenizer)
     else:
         from ..weights.convert import load_llava_checkpoint
         cfg = VStreamLLaVAConfig()
         params = load_llava_checkpoint(args.model_path, cfg,
                                        dtype=jnp.bfloat16)
         tokenizer = load_tokenizer(args.model_path)
-    assert args.feature_dir, "training consumes precomputed features"
 
     dcfg = DataConfig(
         data_path=args.data_path, video_dir=args.video_dir,
         feature_dir=args.feature_dir,
         video_max_frames=args.video_max_frames,
         conv_version="plain" if args.stage == "pretrain" else "v1",
-        frame_bucket=args.frame_bucket)
+        frame_bucket=args.frame_bucket,
+        image_size=cfg.vit.image_size)
     dataset = SupervisedVideoDataset(dcfg, tokenizer)
+
+    # modality groups: videos (features or raw frames), single images, and
+    # text-only conversations each get their own fixed-shape compiled step
+    # (reference branches per item, train.py:679-816; TPU-first = one jit
+    # per modality bucket, steps homogeneous)
+    groups = {"video": [], "image": [], "text": []}
+    for i, item in enumerate(dataset.items):
+        m = ("video" if "video" in item
+             else "image" if "image" in item else "text")
+        groups[m].append(i)
+    groups = {m: idxs for m, idxs in groups.items() if idxs}
 
     tp = args.tp
     mesh = create_mesh(dp=len(jax.devices()) // tp, tp=tp)
@@ -103,73 +165,144 @@ def run_training(args) -> dict:
         tcfg = dataclasses.replace(tcfg, learning_rate=args.learning_rate)
 
     n_mem = sum(star_valid_counts(cfg, args.frame_bucket))
+    grid = cfg.vit.image_size // cfg.vit.patch_size
+    n_img = grid * grid // (4 if cfg.projector.use_4_vision_tokens else 1)
     pad_id = tokenizer.pad_token_id or 0
     pre_len, post_len = args.pre_len, args.post_len
     image_slot = pre_len
 
-    def loss_fn(params, batch, key):
-        feats = batch["images"]                    # [B, T, P, D]
-        B = feats.shape[0]
+    def _decode_loss(params, embeds, segments, labels):
+        B, S = embeds.shape[:2]
+        pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        h, _ = decoder_forward(params["llm"], cfg.llm, embeds, pos,
+                               segment_ids=segments, remat=True)
+        return cross_entropy_loss(lm_head(params["llm"], cfg.llm, h), labels)
+
+    def _splice(params, ids, visual):
+        ids = jnp.maximum(ids, 0)                  # image slot id is -200
+        return jnp.concatenate([
+            embed_tokens(params["llm"], ids[:, :image_slot]),
+            visual.astype(params["llm"]["embed"].dtype),
+            embed_tokens(params["llm"], ids[:, image_slot + 1:])], axis=1)
+
+    def video_loss(params, batch, key):
+        if "frames" in batch:
+            # raw-frame branch: the frozen tower runs inside the loss
+            # (reference raw-video dataset branch, train.py:764-793)
+            from ..preprocess.image import clip_device_preprocess
+            B, T = batch["frames"].shape[:2]
+            flat = batch["frames"].reshape(B * T, *batch["frames"].shape[2:])
+            images = clip_device_preprocess(flat)
+            feats = vstream_llava.encode_frames(params, cfg, images)
+            feats = feats.reshape(B, T, *feats.shape[1:])
+        else:
+            feats = batch["images"]                # [B, T, P, D] precomputed
 
         def one(feat, n, k):
             mem = vstream_llava.consolidate(params, cfg, feat, n, k)
             return pack_memory_tokens(mem, n_mem)
         mems = jax.vmap(one)(feats, batch["n_frames"],
-                             jax.random.split(key, B))
+                             jax.random.split(key, feats.shape[0]))
         mem_proj = project(params["projector"], cfg.projector, mems)
-        ids = jnp.maximum(batch["input_ids"], 0)   # image slot id is -200
-        embeds = jnp.concatenate([
-            embed_tokens(params["llm"], ids[:, :image_slot]),
-            mem_proj.astype(params["llm"]["embed"].dtype),
-            embed_tokens(params["llm"], ids[:, image_slot + 1:])], axis=1)
-        S = embeds.shape[1]
-        pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
-        h, _ = decoder_forward(params["llm"], cfg.llm, embeds, pos,
-                               segment_ids=batch["segments"], remat=True)
-        return cross_entropy_loss(lm_head(params["llm"], cfg.llm, h),
-                                  batch["labels"])
+        embeds = _splice(params, batch["input_ids"], mem_proj)
+        return _decode_loss(params, embeds, batch["segments"],
+                            batch["labels"])
 
-    trainer = Trainer(loss_fn, params, tcfg, mesh=mesh)
+    def image_loss(params, batch, key):
+        # single-image branch: full patch features, no memory compression
+        # (reference image branch train.py:694-716 + vstream_arch.py:333-336)
+        from ..models.clip_vit import clip_encode
+        from ..ops.pooling import merge_2x2_tokens
+        from ..preprocess.image import clip_device_preprocess
+        imgs = clip_device_preprocess(batch["image"])
+        feats = clip_encode(params["vit"], cfg.vit, imgs)   # [B, P, D]
+        if cfg.projector.use_4_vision_tokens:
+            feats = merge_2x2_tokens(feats)
+        proj = project(params["projector"], cfg.projector, feats)
+        embeds = _splice(params, batch["input_ids"], proj)
+        return _decode_loss(params, embeds, batch["segments"],
+                            batch["labels"])
+
+    def text_loss(params, batch, key):
+        embeds = embed_tokens(params["llm"],
+                              jnp.maximum(batch["input_ids"], 0))
+        return _decode_loss(params, embeds, batch["segments"],
+                            batch["labels"])
+
+    MODALITY_LOSS = {"video": video_loss, "image": image_loss,
+                     "text": text_loss}
+    main_modality = next(iter(groups))
+    trainer = Trainer(MODALITY_LOSS[main_modality], params, tcfg, mesh=mesh)
+    step_fns = {main_modality: trainer._train_step}
+    for m in groups:
+        if m not in step_fns:
+            step_fns[m] = trainer.compile_step(MODALITY_LOSS[m])
 
     start_step = 0
     if latest_checkpoint(args.output_dir):
         step, payload = restore_checkpoint(
             args.output_dir, template={"params": trainer.params,
                                        "opt_state": trainer.opt_state})
-        trainer.params, trainer.opt_state = payload["params"], payload["opt_state"]
+        trainer.load_state(payload["params"], payload["opt_state"])
         start_step = step
         logger.info(f"resumed from checkpoint-{step}")
 
-    order = length_grouped_indices(dataset.modality_lengths(),
-                                   args.batch_size, mesh.shape["dp"])
+    # length-grouped order within each modality group (the reference's
+    # LengthGroupedSampler separates modalities at the megabatch level,
+    # vstream_trainer.py:117-148; here every step is modality-homogeneous)
+    all_lengths = dataset.modality_lengths()
+    orders = {}
+    for m, idxs in groups.items():
+        sub = length_grouped_indices([abs(all_lengths[i]) for i in idxs],
+                                     args.batch_size, mesh.shape["dp"])
+        orders[m] = [idxs[j] for j in sub]
 
-    def make_group(idx0: int):
-        group, idx = [], idx0
+    def make_group(modality: str, idx0: int):
+        group, idx, order = [], idx0, orders[modality]
         for _ in range(args.grad_accum):
             samples = [dataset[order[(idx + j) % len(order)]]
                        for j in range(bsz)]
             idx += bsz
+            if modality == "text":
+                group.append(collate_text(samples, pad_id,
+                                          fixed_len=args.text_len))
+                continue
             b = collate_llava(samples, args.frame_bucket, pad_id,
                               fixed_pre_len=pre_len, fixed_post_len=post_len)
-            group.append({
-                "images": b["features"],
-                "n_frames": b["n_frames"],
+            n_vis = n_img if modality == "image" else n_mem
+            out = {
                 "input_ids": b["input_ids"],
-                "labels": spliced_labels(b, n_mem),
-                "segments": spliced_segments(b, n_mem, pad_id),
-            })
+                "labels": spliced_labels(b, n_vis),
+                "segments": spliced_segments(b, n_vis, pad_id),
+            }
+            if modality == "image":
+                out["image"] = b["image"]
+            elif "features" in b:
+                out["images"] = b["features"]
+                out["n_frames"] = b["n_frames"]
+            else:
+                out["frames"] = b["frames"]
+                out["n_frames"] = b["n_frames"]
+            group.append(out)
         stacked = {k: jnp.asarray(np.stack([g[k] for g in group]))
                    for k in group[0]}
         return stacked, idx
 
+    modalities = list(groups)
+    schedule = [modalities[s % len(modalities)] for s in range(total_steps)]
+    cursors = {m: 0 for m in modalities}
+    for s in range(start_step):                   # checkpoint-stable resume
+        cursors[schedule[s]] += bsz * args.grad_accum
+
     losses = []
-    idx = start_step * bsz * args.grad_accum
     for step in range(start_step, total_steps):
-        batch, idx = make_group(idx)
+        m = schedule[step]
+        batch, cursors[m] = make_group(m, cursors[m])
         t0 = time.time()
-        loss = trainer.run_step(batch, jax.random.PRNGKey(step))
+        loss = trainer.run_step(batch, jax.random.PRNGKey(step),
+                                step_fn=step_fns[m])
         losses.append(loss)
-        logger.info(f"step {step + 1}/{total_steps} loss={loss:.4f} "
+        logger.info(f"step {step + 1}/{total_steps} [{m}] loss={loss:.4f} "
                     f"({time.time() - t0:.2f}s)")
         if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
             save_checkpoint(args.output_dir, step + 1, trainer.params,
@@ -200,9 +333,14 @@ def make_parser():
                    help="fixed pre-image text length (left-padded)")
     p.add_argument("--post-len", type=int, default=192,
                    help="fixed post-image text length (right-padded)")
+    p.add_argument("--text-len", type=int, default=512,
+                   help="fixed sequence length for text-only batches")
     p.add_argument("--save-steps", type=int, default=100)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--synthetic-raw", action="store_true",
+                   help="dry-run on raw frame dirs + images + text instead "
+                        "of precomputed features")
     return p
 
 

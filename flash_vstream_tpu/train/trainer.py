@@ -181,6 +181,21 @@ class Trainer:
             out_shardings=(self.param_sharding, self.opt_sharding, None),
             donate_argnums=self._donate)
 
+    def load_state(self, params, opt_state):
+        """Install restored state, re-placed onto this trainer's shardings.
+
+        Orbax (absent explicit sharding args) rebuilds arrays from the
+        sharding/layout metadata recorded in the checkpoint file ("Populating
+        sharding info from sharding file"). Feeding such arrays straight into
+        the donating compiled step lets XLA reuse buffers whose layout may
+        not match the step's expected input layout — an intermittent runtime
+        abort (SIGABRT) on resume. device_put onto the trainer's own
+        NamedShardings yields freshly-placed arrays that are always safe to
+        donate."""
+        with self.mesh:
+            self.params = jax.device_put(params, self.param_sharding)
+            self.opt_state = jax.device_put(opt_state, self.opt_sharding)
+
     def run_step(self, batch, key, step_fn=None) -> float:
         """batch leaves shaped [grad_accum, micro_batch, ...]; micro_batch
         should be a multiple of mesh dp so samples shard across devices."""

@@ -235,13 +235,180 @@ def convert_projector(sd: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# Adapter / LoRA / token-surgery loading (reference model/builder.py:48-98,
+# vstream_arch.py:700-743)
+# ---------------------------------------------------------------------------
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch-serialized state dict (.bin) to numpy (CPU torch)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _strip_peft_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """base_model.model.model.* / model.model.* -> model.* (builder.py:76-78)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("base_model."):
+            k = k[len("base_model."):]
+        if k.startswith("model.model."):
+            k = k[len("model."):]
+        out[k] = v
+    return out
+
+
+def resize_token_embeddings(llm_params: dict, new_size: int) -> dict:
+    """Grow embed/lm_head rows to new_size; new rows take the mean of the
+    existing ones (initialize_vision_tokenizer, vstream_arch.py:711-723).
+    Checkpoints that extended the tokenizer (im_start/end, image patch
+    token) need this before their embed rows load."""
+    import jax
+    embed = llm_params["embed"]
+    n_old = embed.shape[0]
+    if new_size <= n_old:
+        return llm_params
+    out = dict(llm_params)
+    mean_in = jnp.mean(embed, axis=0, keepdims=True)
+    out["embed"] = jnp.concatenate(
+        [embed, jnp.broadcast_to(mean_in, (new_size - n_old, embed.shape[1]))
+         .astype(embed.dtype)])
+    if "lm_head" in llm_params:       # [D, V]
+        head = llm_params["lm_head"]
+        mean_out = jnp.mean(head, axis=1, keepdims=True)
+        out["lm_head"] = jnp.concatenate(
+            [head, jnp.broadcast_to(mean_out,
+                                    (head.shape[0], new_size - n_old))
+             .astype(head.dtype)], axis=1)
+    return out
+
+
+_LORA_PROJ = {"q_proj": ("attn", "wq"), "k_proj": ("attn", "wk"),
+              "v_proj": ("attn", "wv"), "o_proj": ("attn", "wo"),
+              "gate_proj": ("mlp", "gate"), "up_proj": ("mlp", "up"),
+              "down_proj": ("mlp", "down")}
+
+
+def apply_lora_adapter(llm_params: dict, adapter_sd: Dict[str, np.ndarray],
+                       alpha: float, rank: int) -> dict:
+    """Merge torch-PEFT LoRA deltas into the stacked decoder tree:
+    W[in,out] += (alpha/r) * (B @ A)^T (merge_and_unload semantics,
+    builder.py:81-86). Adapter keys look like
+    base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight."""
+    import jax
+    scale = alpha / rank
+    deltas: Dict[tuple, dict] = {}
+    pat = re.compile(r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+)\."
+                     r"lora_(A|B)\.weight$")
+    for k, v in adapter_sd.items():
+        m = pat.search(k)
+        if m:
+            i, proj, ab = int(m.group(1)), m.group(2), m.group(3)
+            deltas.setdefault((i, proj), {})[ab] = np.asarray(v)
+
+    params = jax.tree.map(lambda x: x, llm_params)   # shallow-copy tree
+    layers = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in params["layers"].items()}
+    stacked = {}
+    for (i, proj), ab in deltas.items():
+        assert "A" in ab and "B" in ab, f"incomplete LoRA pair for {proj}@{i}"
+        grp, name = _LORA_PROJ[proj]
+        stacked.setdefault((grp, name), {})[i] = (
+            scale * (ab["B"] @ ab["A"]).T)     # torch [out,in] -> jax [in,out]
+    for (grp, name), per_layer in stacked.items():
+        w = np.asarray(layers[grp][name]["w"], np.float32).copy()
+        for i, d in per_layer.items():
+            w[i] += d
+        new = dict(layers[grp][name])
+        new["w"] = jnp.asarray(w).astype(llm_params["layers"][grp][name]["w"].dtype)
+        layers[grp] = dict(layers[grp])
+        layers[grp][name] = new
+    params["layers"] = layers
+    return params
+
+
+def load_pretrained_model(model_path: str, cfg, model_base: Optional[str] = None,
+                          model_name: Optional[str] = None,
+                          tokenizer_len: Optional[int] = None,
+                          dtype=jnp.float32) -> dict:
+    """LLaVA-family checkpoint loading with the reference's three branches
+    (model/builder.py:48-98):
+
+    - LoRA ('lora' in model_name, model_base given): base weights ->
+      resize token embeddings -> non_lora_trainables.bin overlay
+      (projector/NTM/embed rows) -> merge adapter_model deltas.
+    - projector-only (model_base given): base weights + mm_projector.bin
+      overlay (pretrain stage-1 artifact).
+    - full: everything from model_path.
+    """
+    name = (model_name or os.path.basename(model_path.rstrip("/"))).lower()
+    if model_base is None:
+        params = load_llava_checkpoint(model_path, cfg, dtype=dtype)
+        if tokenizer_len:
+            params["llm"] = resize_token_embeddings(params["llm"],
+                                                    tokenizer_len)
+        return params
+
+    params = load_llava_checkpoint(model_base, cfg, dtype=dtype)
+    if tokenizer_len:
+        params["llm"] = resize_token_embeddings(params["llm"], tokenizer_len)
+
+    def overlay(sd):
+        sd = _strip_peft_prefixes(sd)
+        if any(k.startswith("model.mm_projector.") for k in sd):
+            params["projector"] = convert_projector(sd, dtype=dtype)
+        if any(k.startswith("model.attention_model.") for k in sd):
+            params["ntm"] = convert_ntm(sd, dtype=dtype)
+        if "model.embed_tokens.weight" in sd:
+            rows = jnp.asarray(sd["model.embed_tokens.weight"]).astype(dtype)
+            embed = params["llm"]["embed"]
+            params["llm"]["embed"] = jnp.concatenate(
+                [rows, embed[rows.shape[0]:]]) if rows.shape[0] < embed.shape[0] else rows
+        if "lm_head.weight" in sd:
+            params["llm"]["lm_head"] = jnp.asarray(
+                _t(sd["lm_head.weight"])).astype(dtype)
+
+    if "lora" in name:
+        nlt = os.path.join(model_path, "non_lora_trainables.bin")
+        if os.path.exists(nlt):
+            overlay(load_torch_bin(nlt))
+        adapter_st = os.path.join(model_path, "adapter_model.safetensors")
+        adapter_bin = os.path.join(model_path, "adapter_model.bin")
+        if os.path.exists(adapter_st):
+            from safetensors.numpy import load_file
+            adapter = load_file(adapter_st)
+        elif os.path.exists(adapter_bin):
+            adapter = load_torch_bin(adapter_bin)
+        else:
+            raise FileNotFoundError(f"no adapter_model under {model_path}")
+        acfg = {}
+        acfg_path = os.path.join(model_path, "adapter_config.json")
+        if os.path.exists(acfg_path):
+            import json
+            acfg = json.load(open(acfg_path))
+        params["llm"] = apply_lora_adapter(
+            params["llm"], adapter,
+            alpha=acfg.get("lora_alpha", 16), rank=acfg.get("r", 16))
+    else:
+        proj = os.path.join(model_path, "mm_projector.bin")
+        if os.path.exists(proj):
+            overlay(load_torch_bin(proj))
+        else:
+            raise FileNotFoundError(
+                f"{proj} not found (projector-only load, builder.py:88-95)")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Full-model loaders
 # ---------------------------------------------------------------------------
 
 def load_llava_checkpoint(model_dir: str, cfg, dtype=jnp.float32) -> dict:
     """Load a Flash-VStream-LLaVA HF checkpoint directory."""
     sd = load_safetensors_dir(model_dir)
-    vit_sd = {k.split("vision_tower.", 1)[1]: v for k, v in sd.items()
+    # reference layout nests CLIPVisionModel twice:
+    # model.vision_tower.vision_tower.vision_model.* (clip_encoder.py:28-31)
+    vit_sd = {k.rsplit("vision_tower.", 1)[1]: v for k, v in sd.items()
               if "vision_tower." in k}
     if not vit_sd:
         raise FileNotFoundError(

@@ -1,0 +1,82 @@
+"""MJPEG-in-mp4 mux/demux roundtrip and load_video wiring
+(decord replacement for the no-FFmpeg image; preprocess/mp4.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from flash_vstream_tpu.preprocess.mp4 import (decode_mjpeg, demux_mjpeg,
+                                              mux_mjpeg, parse_mp4)
+from flash_vstream_tpu.preprocess.video import load_video
+
+
+def _frames(n=6, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    # blocky frames survive JPEG compression recognizably
+    out = []
+    for t in range(n):
+        f = np.zeros((h, w, 3), np.uint8)
+        f[:, :, t % 3] = (60 + 30 * t) % 250
+        f[8:24, 8:24] = rng.integers(0, 255, 3, dtype=np.uint8)
+        out.append(f)
+    return out
+
+
+def test_mux_demux_roundtrip(tmp_path):
+    frames = _frames()
+    path = str(tmp_path / "clip.mp4")
+    mux_mjpeg(path, frames, fps=2.0)
+    track = parse_mp4(path)
+    assert track.n_samples == 6
+    assert abs(track.fps - 2.0) < 1e-3
+    blobs, fps = demux_mjpeg(path)
+    assert len(blobs) == 6 and all(b.startswith(b"\xff\xd8") for b in blobs)
+    decoded = decode_mjpeg(path)
+    assert len(decoded) == 6
+    for orig, dec in zip(frames, decoded):
+        assert dec.shape == orig.shape
+        # JPEG-lossy but close on flat regions
+        assert np.abs(dec[30:, 30:].astype(int)
+                      - orig[30:, 30:].astype(int)).mean() < 12
+
+
+def test_decode_mjpeg_subsample(tmp_path):
+    path = str(tmp_path / "clip.mp4")
+    mux_mjpeg(path, _frames(8), fps=4.0)
+    assert len(decode_mjpeg(path, fps=2.0)) == 4
+    assert len(decode_mjpeg(path, max_frames=3)) == 3
+
+
+def test_load_video_mp4(tmp_path):
+    path = str(tmp_path / "clip.mp4")
+    mux_mjpeg(path, _frames(4), fps=1.0)
+    src = load_video(path, max_frames=3)
+    assert len(src) == 3
+    assert src[0].dtype == np.uint8 and src[0].ndim == 3
+
+
+def test_load_video_mp4_sibling_frame_dir(tmp_path):
+    """Extract-frames-first flow: a sibling dir wins over in-file decode."""
+    from PIL import Image
+    d = tmp_path / "clip"
+    d.mkdir()
+    for t in range(5):
+        Image.fromarray(np.full((32, 32, 3), t * 40, np.uint8)).save(
+            str(d / f"{t:06d}.jpg"))
+    (tmp_path / "clip.mp4").write_bytes(b"\x00" * 16)   # not even valid mp4
+    src = load_video(str(tmp_path / "clip.mp4"))
+    assert len(src) == 5
+
+
+def test_h264_samples_raise_with_instructions(tmp_path):
+    frames = _frames(2)
+    path = str(tmp_path / "clip.mp4")
+    mux_mjpeg(path, frames, fps=1.0)
+    # corrupt the first sample's SOI so it no longer looks like JPEG
+    data = bytearray(open(path, "rb").read())
+    track = parse_mp4(path)
+    off = track.sample_offsets[0]
+    data[off:off + 2] = b"\x00\x00"
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="pre-extract frames"):
+        demux_mjpeg(path)

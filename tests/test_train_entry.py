@@ -94,6 +94,26 @@ def test_train_dry_run_and_resume(tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoint-8"))
 
 
+def test_train_raw_media_dry_run(tmp_path):
+    """Raw-media training: frame dirs through the frozen tower inside the
+    loss, single images spliced at full patch resolution, text-only batches
+    (reference train.py:679-816)."""
+    out = str(tmp_path / "run")
+    args = make_parser().parse_args([
+        "--dry-run", "--synthetic-raw", "--output-dir", out,
+        "--stage", "finetune", "--max-steps", "6", "--batch-size", "1",
+        "--frame-bucket", "4", "--pre-len", "24", "--post-len", "48",
+        "--save-steps", "100", "--learning-rate", "5e-3",
+    ])
+    res = run_training(args)
+    assert res["steps"] == 6
+    assert all(np.isfinite(l) for l in res["losses"])
+    # 3 modalities interleave (video, image, text, ...); every step must
+    # actually supervise tokens (a 0.0 loss means labels were truncated away)
+    assert all(l > 0 for l in res["losses"]), res["losses"]
+    assert os.path.isdir(os.path.join(out, "checkpoint-6"))
+
+
 def test_train_pretrain_stage_freezes_llm(tmp_path):
     out = str(tmp_path / "run")
     args = make_parser().parse_args([
