@@ -108,11 +108,13 @@ def _flash_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [bkv, D]
+        # bf16 operands + f32 accumulation: casting q/k to f32 BEFORE the
+        # dot would force the MXU into f32 mode (~1/8 of bf16 throughput)
+        q = q_ref[0, 0]                              # [bq, D]
+        k = k_ref[0, 0]                              # [bkv, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [bq, bkv]
+            preferred_element_type=jnp.float32) * scale   # [bq, bkv] f32
 
         mask = None
         if causal:
@@ -293,11 +295,14 @@ def _flash_bwd_dq_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        o = o_ref[0, 0].astype(jnp.float32)
+        # MXU dots take bf16 operands with f32 accumulation (an f32 cast
+        # before the dot would run the MXU at ~1/8 throughput); only the
+        # small elementwise terms compute in f32
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        o = o_ref[0, 0]
         lse = lse_ref[0, 0, :, 0]                              # [bq]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -309,10 +314,11 @@ def _flash_bwd_dq_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
             p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        delta = jnp.sum(do * o, axis=1)                        # [bq]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=1)                                # [bq]
         ds = p * (dp - delta[:, None]) * scale
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv_blocks - 1)
@@ -340,11 +346,12 @@ def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        o = o_ref[0, 0].astype(jnp.float32)
+        # bf16 MXU operands, f32 accumulation (see _flash_bwd_dq_kernel)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        o = o_ref[0, 0]
         lse = lse_ref[0, 0, :, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -355,14 +362,15 @@ def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [bkv, D]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        delta = jnp.sum(do * o, axis=1)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=1)
         ds = p * (dp - delta[:, None]) * scale
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # [bkv, D]
 
     @pl.when((i == num_q_blocks - 1) & (gh == group - 1))

@@ -151,7 +151,7 @@ class Generator:
         assert S + gen.max_new_tokens <= self.max_len, (
             f"prompt ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
             f"the KV cache capacity ({self.max_len}); raise max_len")
-        cache = self.new_cache(B)
+        cache = self.new_cache(B, self._active_len(S, gen.max_new_tokens))
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -170,10 +170,18 @@ class Generator:
             outs.append(toks)
         return outs
 
-    def new_cache(self, batch: int = 1) -> KVCache:
+    def new_cache(self, batch: int = 1, length: Optional[int] = None) -> KVCache:
         return KVCache.create(self.cfg.num_layers, batch,
-                              self.cfg.num_kv_heads, self.max_len,
+                              self.cfg.num_kv_heads, length or self.max_len,
                               self.cfg.head_dim, self.cache_dtype)
+
+    def _active_len(self, S: int, max_new: int) -> int:
+        """Tight KV capacity bucket for one answer. Decode attention reads
+        the WHOLE cache buffer every token, so sizing it to the session-wide
+        max_len (e.g. 16k) instead of this prompt's needs multiplies the
+        per-token HBM traffic; bucket to 256 to bound recompiles."""
+        need = -(-(S + max_new + 1) // 256) * 256
+        return min(self.max_len, need)
 
     def generate(
         self,
@@ -192,7 +200,7 @@ class Generator:
         assert S + gen.max_new_tokens <= self.max_len, (
             f"prompt ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
             f"the KV cache capacity ({self.max_len}); raise max_len")
-        cache = self.new_cache(B)
+        cache = self.new_cache(B, self._active_len(S, gen.max_new_tokens))
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)
         if decode_pos_start is None:
