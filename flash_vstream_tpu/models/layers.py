@@ -154,19 +154,36 @@ class KVCache(NamedTuple):
     per-layer [B, Hkv, Smax, D] slices through the scan body; `length` is the
     filled prefix (shared across layers). `segments` tracks per-position
     segment ids (-1 = padding) so left-padded batched prompts mask correctly
-    during decode."""
+    during decode.
+
+    dtype=int8 stores k/v quantized per (position, head) with f32 scales
+    (k_scale/v_scale, [L, B, Hkv, Smax, 1]) — decode is bound by cache HBM
+    reads, and int8 halves them at <1% score error (weights/quantize.py is
+    the same trade for the weight matvecs)."""
     k: jnp.ndarray         # [L, B, Hkv, Smax, D]
     v: jnp.ndarray         # [L, B, Hkv, Smax, D]
     length: jnp.ndarray    # [] int32: filled prefix length
     segments: jnp.ndarray  # [B, Smax] int32; -1 = padding
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, Hkv, Smax, 1] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, num_layers: int, batch: int, num_kv_heads: int,
                max_len: int, head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
+        ks = vs = None
+        if dtype == jnp.int8:
+            # two distinct buffers: aliased leaves in a donated pytree are a
+            # double-donation error
+            ks = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+            vs = jnp.zeros(shape[:-1] + (1,), jnp.float32)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((), jnp.int32),
-                   jnp.full((batch, max_len), -1, jnp.int32))
+                   jnp.full((batch, max_len), -1, jnp.int32), ks, vs)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     def advance(self, n) -> "KVCache":
         return self._replace(length=self.length + n)
@@ -176,6 +193,16 @@ class KVCache(NamedTuple):
         new = jax.lax.dynamic_update_slice(
             self.segments, seg.astype(jnp.int32), (0, self.length))
         return self._replace(segments=new)
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the head_dim axis: x [..., D] ->
+    (int8 [..., D], f32 scale [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +218,44 @@ def init_dense(key, din, dout, bias=False, dtype=jnp.float32, scale=None):
     return p
 
 
+def cache_attention(q, kc, vc, ks, vs, *, q_offset, q_segment_ids,
+                    kv_segment_ids):
+    """Decode-step attention over a (possibly int8-quantized) cache prefix.
+
+    bf16 caches go through flash_attention's XLA decode path. int8 caches
+    stay int8 in HBM (the convert fuses into the dot operand feed); the
+    per-position scales apply to the scores (q.(k*s) = (q.k_q)*s) and to p
+    before the PV matvec."""
+    if ks is None:
+        return flash_attention(q, kc, vc, causal=True, q_offset=q_offset,
+                               q_segment_ids=q_segment_ids,
+                               kv_segment_ids=kv_segment_ids)
+    B, Hq, Sq, D = q.shape
+    Hkv, Skv = kc.shape[1], kc.shape[2]
+    g = Hq // Hkv
+    scale = 1.0 / (D ** 0.5)
+    qg = q.reshape(B, Hkv, g, Sq, D)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, kc.astype(q.dtype),
+                   preferred_element_type=jnp.float32)
+    s = s * ks[..., 0][:, :, None, None, :] * scale
+    mask = jnp.ones((B, 1, 1, Sq, Skv), bool)
+    qi = jnp.arange(Sq)[:, None] + q_offset
+    ki = jnp.arange(Skv)[None, :]
+    mask = mask & (qi >= ki)[None, None, None]
+    if kv_segment_ids is not None:
+        seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :])
+        seg = seg & (kv_segment_ids[:, None, :] >= 0)
+        mask = mask & seg[:, None, None]
+    from ..kernels.flash_attention import DEFAULT_MASK_VALUE
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.any(mask, axis=-1, keepdims=True), p, 0.0)
+    pv = (p * vs[..., 0][:, :, None, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", pv, vc.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Hq, Sq, D).astype(q.dtype)
+
+
 def mha(
     params: dict,
     x: jnp.ndarray,                      # [B, S, D]
@@ -202,16 +267,17 @@ def mha(
     causal: bool = False,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
-    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # per-layer [B,Hkv,Smax,D]
+    kv_cache: Optional[Tuple] = None,    # per-layer (k, v[, ks, vs])
     cache_len: Optional[jnp.ndarray] = None,
     cache_segments: Optional[jnp.ndarray] = None,   # [B, Smax] (-1 padding)
-) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+) -> Tuple[jnp.ndarray, Optional[Tuple]]:
     """Multi-head attention with optional GQA, RoPE and per-layer KV cache.
 
     With a cache: S > 1 is a prefill (cache assumed to start at cache_len=0;
     attention runs over the fresh k/v through the fused Pallas path); S == 1
-    is a decode step (one query against the cache prefix, XLA matvec path).
-    Returns the updated per-layer cache slice.
+    is a decode step (one query against the cache prefix). int8 caches carry
+    per-position scales as the 3rd/4th cache elements. Returns the updated
+    per-layer cache slices.
     """
     B, S, D = x.shape
     q = dense(x, params["wq"]["w"], params["wq"].get("b"))
@@ -226,11 +292,22 @@ def mha(
 
     new_cache = None
     if kv_cache is not None:
-        kc, vc = kv_cache
+        kc, vc = kv_cache[0], kv_cache[1]
+        quant = kc.dtype == jnp.int8
         start = (0, 0, cache_len, 0)
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), start)
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), start)
-        new_cache = (kc, vc)
+        if quant:
+            kq, ksn = quantize_kv(k)
+            vq, vsn = quantize_kv(v)
+            kc = jax.lax.dynamic_update_slice(kc, kq, start)
+            vc = jax.lax.dynamic_update_slice(vc, vq, start)
+            ksc = jax.lax.dynamic_update_slice(kv_cache[2], ksn, start)
+            vsc = jax.lax.dynamic_update_slice(kv_cache[3], vsn, start)
+            new_cache = (kc, vc, ksc, vsc)
+        else:
+            kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), start)
+            vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), start)
+            ksc = vsc = None
+            new_cache = (kc, vc)
         if S > 1:
             out = flash_attention(q, k, v, causal=True,
                                   q_segment_ids=q_segment_ids,
@@ -239,7 +316,7 @@ def mha(
             # batched decode with left-padded prompts: mask padded cache slots
             q_seg = (jnp.zeros((B, S), jnp.int32)
                      if cache_segments is not None else None)
-            out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len,
+            out = cache_attention(q, kc, vc, ksc, vsc, q_offset=cache_len,
                                   q_segment_ids=q_seg,
                                   kv_segment_ids=cache_segments)
     else:
@@ -264,7 +341,9 @@ def mha_decode(
     layer: jnp.ndarray,                  # [] int32 layer index
     cache_len: jnp.ndarray,              # [] int32 filled prefix
     cache_segments: Optional[jnp.ndarray],   # [B, Smax] (-1 padding)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ks_all: Optional[jnp.ndarray] = None,    # int8 cache scales
+    vs_all: Optional[jnp.ndarray] = None,
+) -> Tuple:
     """Decode-step attention updating the FULL stacked cache in place.
 
     The prefill path threads per-layer cache slices through a scan, which
@@ -285,20 +364,31 @@ def mha_decode(
     k = apply_rope(k, *rope)
 
     start = (layer, 0, 0, cache_len, 0)
-    kc_all = jax.lax.dynamic_update_slice(kc_all, k[None].astype(kc_all.dtype),
-                                          start)
-    vc_all = jax.lax.dynamic_update_slice(vc_all, v[None].astype(vc_all.dtype),
-                                          start)
+    if ks_all is not None:
+        kq, ksn = quantize_kv(k)
+        vq, vsn = quantize_kv(v)
+        kc_all = jax.lax.dynamic_update_slice(kc_all, kq[None], start)
+        vc_all = jax.lax.dynamic_update_slice(vc_all, vq[None], start)
+        ks_all = jax.lax.dynamic_update_slice(ks_all, ksn[None], start)
+        vs_all = jax.lax.dynamic_update_slice(vs_all, vsn[None], start)
+        ks = jax.lax.dynamic_index_in_dim(ks_all, layer, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(vs_all, layer, 0, keepdims=False)
+    else:
+        kc_all = jax.lax.dynamic_update_slice(
+            kc_all, k[None].astype(kc_all.dtype), start)
+        vc_all = jax.lax.dynamic_update_slice(
+            vc_all, v[None].astype(vc_all.dtype), start)
+        ks = vs = None
     kc = jax.lax.dynamic_index_in_dim(kc_all, layer, 0, keepdims=False)
     vc = jax.lax.dynamic_index_in_dim(vc_all, layer, 0, keepdims=False)
     q_seg = (jnp.zeros((B, S), jnp.int32)
              if cache_segments is not None else None)
-    out = flash_attention(q, kc, vc, causal=True, q_offset=cache_len,
+    out = cache_attention(q, kc, vc, ks, vs, q_offset=cache_len,
                           q_segment_ids=q_seg,
                           kv_segment_ids=cache_segments)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, num_heads * head_dim)
     out = dense(out, params["wo"]["w"], params["wo"].get("b"))
-    return out, kc_all, vc_all
+    return out, kc_all, vc_all, ks_all, vs_all
 
 
 def swiglu_mlp(params: dict, x: jnp.ndarray) -> jnp.ndarray:

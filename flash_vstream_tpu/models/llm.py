@@ -97,15 +97,14 @@ def decoder_forward(
     cos, sin = _rope_for(cfg, positions)
     x = input_embeds
 
-    def block(x, layer_params, kc, vc, cache_len, cache_segments):
+    def block(x, layer_params, kv, cache_len, cache_segments):
         h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
         attn_out, new_kv = mha(
             layer_params["attn"], h,
             num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
             head_dim=cfg.head_dim, rope=(cos, sin), causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
-            kv_cache=None if kc is None else (kc, vc),
-            cache_len=cache_len, cache_segments=cache_segments)
+            kv_cache=kv, cache_len=cache_len, cache_segments=cache_segments)
         x = x + attn_out
         h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
         x = x + swiglu_mlp(layer_params["mlp"], h)
@@ -116,7 +115,7 @@ def decoder_forward(
 
     if cache is None:
         def body(x, layer_params):
-            x, _ = block(x, layer_params, None, None, None, None)
+            x, _ = block(x, layer_params, None, None, None)
             return x, None
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
@@ -129,43 +128,71 @@ def decoder_forward(
         seg_new = (segment_ids if segment_ids is not None
                    else jnp.zeros((input_embeds.shape[0], 1), jnp.int32))
         cache = cache.with_segments(seg_new)
+        quant = cache.quantized
 
         def body(l, state):
-            x, kc_all, vc_all = state
+            x, kc_all, vc_all, ks_all, vs_all = state
             layer_params = jax.tree.map(
                 lambda p: jax.lax.dynamic_index_in_dim(p, l, 0,
                                                        keepdims=False),
                 params["layers"])
             h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
-            attn_out, kc_all, vc_all = mha_decode(
+            attn_out, kc_all, vc_all, ks_all, vs_all = mha_decode(
                 layer_params["attn"], h,
                 num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
                 head_dim=cfg.head_dim, rope=(cos, sin),
                 kc_all=kc_all, vc_all=vc_all, layer=l,
-                cache_len=cache.length, cache_segments=cache.segments)
+                cache_len=cache.length, cache_segments=cache.segments,
+                ks_all=ks_all, vs_all=vs_all)
             x = x + attn_out
             h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
             x = x + swiglu_mlp(layer_params["mlp"], h)
-            return x, kc_all, vc_all
+            return x, kc_all, vc_all, ks_all, vs_all
 
-        x, nk, nv = jax.lax.fori_loop(0, cfg.num_layers, body,
-                                      (x, cache.k, cache.v))
-        new_cache = cache._replace(k=nk, v=nv).advance(1)
+        if quant:
+            x, nk, nv, nks, nvs = jax.lax.fori_loop(
+                0, cfg.num_layers, body,
+                (x, cache.k, cache.v, cache.k_scale, cache.v_scale))
+            new_cache = cache._replace(k=nk, v=nv, k_scale=nks,
+                                       v_scale=nvs).advance(1)
+        else:
+            def body_plain(l, state):
+                x, kc_all, vc_all = state
+                x, kc_all, vc_all, _, _ = body(l, (x, kc_all, vc_all,
+                                                   None, None))
+                return x, kc_all, vc_all
+            x, nk, nv = jax.lax.fori_loop(0, cfg.num_layers, body_plain,
+                                          (x, cache.k, cache.v))
+            new_cache = cache._replace(k=nk, v=nv).advance(1)
     else:
         S = input_embeds.shape[1]
         seg_new = (segment_ids if segment_ids is not None
                    else jnp.zeros((input_embeds.shape[0], S), jnp.int32))
         cache = cache.with_segments(seg_new)
 
-        def body(carry, xs):
-            x, cache_len = carry
-            layer_params, kc, vc = xs
-            x, (nkc, nvc) = block(x, layer_params, kc, vc, cache_len,
-                                  cache.segments)
-            return (x, cache_len), (nkc, nvc)
-        (x, _), (nk, nv) = jax.lax.scan(
-            body, (x, cache.length), (params["layers"], cache.k, cache.v))
-        new_cache = cache._replace(k=nk, v=nv).advance(S)
+        if cache.quantized:
+            def body(carry, xs):
+                x, cache_len = carry
+                layer_params, kc, vc, ks, vs = xs
+                x, new_kv = block(x, layer_params, (kc, vc, ks, vs),
+                                  cache_len, cache.segments)
+                return (x, cache_len), new_kv
+            (x, _), (nk, nv, nks, nvs) = jax.lax.scan(
+                body, (x, cache.length),
+                (params["layers"], cache.k, cache.v,
+                 cache.k_scale, cache.v_scale))
+            new_cache = cache._replace(k=nk, v=nv, k_scale=nks,
+                                       v_scale=nvs).advance(S)
+        else:
+            def body(carry, xs):
+                x, cache_len = carry
+                layer_params, kc, vc = xs
+                x, (nkc, nvc) = block(x, layer_params, (kc, vc), cache_len,
+                                      cache.segments)
+                return (x, cache_len), (nkc, nvc)
+            (x, _), (nk, nv) = jax.lax.scan(
+                body, (x, cache.length), (params["layers"], cache.k, cache.v))
+            new_cache = cache._replace(k=nk, v=nv).advance(S)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, new_cache

@@ -62,7 +62,7 @@ class LLaVAStreamSession:
 
     def __init__(self, params: dict, cfg: VStreamLLaVAConfig, tokenizer,
                  clip_size: int = 1, conv_template: str = "vicuna_v1",
-                 max_len: int = 4096):
+                 max_len: int = 4096, kv_cache_dtype=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -71,7 +71,9 @@ class LLaVAStreamSession:
         self.metrics = MetricMeter()
         self.state = init_star_state(
             cfg.star, cfg.projector.effective_input_dim)
-        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        self.generator = Generator(
+            params["llm"], cfg.llm, max_len=max_len,
+            cache_dtype=kv_cache_dtype or jnp.bfloat16)
 
         def ingest(params, state, frames_u8, n_new, key):
             images = clip_device_preprocess(frames_u8)
@@ -184,7 +186,7 @@ class QwenStreamSession:
     def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
                  frame_hw=(224, 224), clip_size: int = 2,
                  bank_size: int = 1024, max_len: int = 16384,
-                 max_pixels: int = 4 * 224 * 224):
+                 max_pixels: int = 4 * 224 * 224, kv_cache_dtype=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -193,7 +195,9 @@ class QwenStreamSession:
             f"even (got {clip_size})")
         self.clip_size = clip_size
         self.metrics = MetricMeter()
-        self.generator = Generator(params["llm"], cfg.llm, max_len=max_len)
+        self.generator = Generator(
+            params["llm"], cfg.llm, max_len=max_len,
+            cache_dtype=kv_cache_dtype or jnp.bfloat16)
 
         h, w = frame_hw
         self.resize_hw = smart_resize(h, w, factor=56, max_pixels=max_pixels)

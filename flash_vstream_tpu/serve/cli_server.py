@@ -29,6 +29,8 @@ from ..utils.logging import build_logger
 
 def build_session(args):
     import jax
+    import jax.numpy as _jnp
+    kv_dtype = _jnp.int8 if args.kv_int8 else None
     if args.model_family == "qwen":
         from ..core.config import (FlashMemoryConfig, VStreamQwenConfig,
                                    tiny_qwen_config)
@@ -54,7 +56,8 @@ def build_session(args):
             frame_hw = (args.frame_size, args.frame_size)
         return QwenStreamSession(params, cfg, tokenizer, frame_hw=frame_hw,
                                  clip_size=args.clip_size,
-                                 bank_size=args.video_max_frames)
+                                 bank_size=args.video_max_frames,
+                                 kv_cache_dtype=kv_dtype)
     else:
         from ..core.config import VStreamLLaVAConfig, tiny_llava_config
         from ..models.vstream_llava import init_llava_params
@@ -72,7 +75,8 @@ def build_session(args):
                                            dtype=jnp.bfloat16)
             tokenizer = load_tokenizer(args.model_path)
         return LLaVAStreamSession(params, cfg, tokenizer,
-                                  clip_size=args.clip_size)
+                                  clip_size=args.clip_size,
+                                  kv_cache_dtype=kv_dtype)
 
 
 def run_server(args) -> dict:
@@ -204,6 +208,9 @@ def make_parser():
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--output-file", type=str, default=None)
     p.add_argument("--sync-every-clip", action="store_true")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache with per-position scales (halves "
+                        "decode's cache HBM reads)")
     p.add_argument("--threaded-ingest", action="store_true",
                    help="pace ingestion on a background thread so answers "
                         "never stall the stream")

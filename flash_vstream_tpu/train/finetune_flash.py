@@ -272,7 +272,7 @@ def run_training(args) -> dict:
     # resume: replay the consumed prefix so data order is checkpoint-stable
     for s in range(start_step):
         cursors[schedule[s]] += args.grad_accum * B
-    for step in range(start_step, total_steps):
+    def make_step_batch(step: int):
         hw = schedule[step]
         bucket_items = buckets[hw]
         micro = []
@@ -290,6 +290,12 @@ def run_training(args) -> dict:
             "labels": jnp2.asarray(np.stack([m[2] for m in micro])),
             "seg": jnp2.asarray(np.stack([m[3] for m in micro])),
         }
+        return hw, batch
+
+    # frame decode + patchify for the NEXT step overlaps device compute
+    from ..utils.prefetch import BackgroundPrefetcher
+    prefetch = BackgroundPrefetcher(make_step_batch, start_step, total_steps)
+    for step, (hw, batch) in zip(range(start_step, total_steps), prefetch):
         loss = trainer.run_step(batch, jax.random.PRNGKey(step),
                                 step_fn=step_fn_for(hw))
         losses.append(loss)

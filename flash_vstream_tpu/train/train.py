@@ -294,10 +294,18 @@ def run_training(args) -> dict:
     for s in range(start_step):                   # checkpoint-stable resume
         cursors[schedule[s]] += bsz * args.grad_accum
 
-    losses = []
-    for step in range(start_step, total_steps):
+    # host-side batch assembly (decode/collate) overlaps device compute on
+    # a prefetch thread (the reference's DataLoader workers, train.py:1031)
+    from ..utils.prefetch import BackgroundPrefetcher
+
+    def make_step_batch(step: int):
         m = schedule[step]
         batch, cursors[m] = make_group(m, cursors[m])
+        return m, batch
+
+    losses = []
+    prefetch = BackgroundPrefetcher(make_step_batch, start_step, total_steps)
+    for step, (m, batch) in zip(range(start_step, total_steps), prefetch):
         t0 = time.time()
         loss = trainer.run_step(batch, jax.random.PRNGKey(step),
                                 step_fn=step_fns[m])
