@@ -79,6 +79,13 @@ def launch_workers(args, info: dict) -> List[str]:
         wargs = worker.make_parser().parse_args(common + ["--chunk-idx", "0"])
         files.append(worker.run_inference(wargs))
     else:
+        # a CPU-backed parent (tests/CI) must spawn CPU-backed workers: the
+        # host profile rewrites JAX_PLATFORMS before user code runs, so the
+        # env cannot carry this — workers would land on (and block behind)
+        # the one real chip. TPU-backed parents let workers use the default.
+        import jax
+        if jax.default_backend() == "cpu":
+            common = common + ["--platform", "cpu"]
         procs = []
         for i in range(args.num_chunks):
             cmd = [sys.executable, "-m",

@@ -177,11 +177,26 @@ def make_parser() -> argparse.ArgumentParser:
                    help="directory of <video_id>.srt files (videommesub)")
     p.add_argument("--dry-run", action="store_true",
                    help="tiny random-init model (no checkpoint needed)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. 'cpu'). Needed for "
+                        "subprocess workers: the host profile may override "
+                        "JAX_PLATFORMS before user code runs, so the parent's"
+                        " platform cannot be inherited through the env")
     return p
+
+
+def force_platform(platform: str):
+    """Claim `platform` before first backend use (see
+    __graft_entry__._force_cpu_mesh for why env inheritance is not enough)."""
+    import jax
+    os.environ["JAX_PLATFORMS"] = platform
+    jax.config.update("jax_platforms", platform)
 
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.platform:
+        force_platform(args.platform)
     run_inference(args)
 
 
