@@ -5,7 +5,11 @@ Runs with tiny random-init models (no checkpoints) so the full pipeline is
 exercised anywhere; pass --model-path/--family to use converted weights.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
