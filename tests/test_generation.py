@@ -56,6 +56,43 @@ def test_topk_one_is_greedy(rng):
     assert greedy == topk1
 
 
+def test_active_len_bucket(rng):
+    """Per-answer KV buckets: a huge session max_len must not inflate the
+    answer's cache (decode reads the whole cache buffer each token), and
+    results are identical across bucket sizes."""
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    g_small = Generator(params, CFG, max_len=64, cache_dtype=jnp.float32)
+    g_big = Generator(params, CFG, max_len=4096, cache_dtype=jnp.float32)
+    assert g_big._active_len(6, 10) == 256          # 256-rounded tight bucket
+    assert g_small._active_len(6, 10) == 64         # clamped to max_len
+    embeds = jnp.asarray(rng.normal(size=(1, 6, 32)).astype(np.float32))
+    pos = jnp.arange(6)[None]
+    cfg = GenerationConfig(max_new_tokens=10, eos_token_ids=())
+    assert g_small.generate(embeds, pos, cfg) == g_big.generate(embeds, pos,
+                                                                cfg)
+
+
+def test_int8_cache_matches_f32(rng):
+    """int8 KV cache greedy decode agrees with the f32 cache."""
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    g_f = Generator(params, CFG, max_len=64, cache_dtype=jnp.float32)
+    g_q = Generator(params, CFG, max_len=64, cache_dtype=jnp.int8)
+    embeds = jnp.asarray(rng.normal(size=(1, 8, 32)).astype(np.float32) * 0.1)
+    pos = jnp.arange(8)[None]
+    cfg = GenerationConfig(max_new_tokens=8, eos_token_ids=())
+    out_f = g_f.generate(embeds, pos, cfg)
+    out_q = g_q.generate(embeds, pos, cfg)
+    agree = sum(a == b for a, b in zip(out_f, out_q))
+    assert agree >= len(out_f) - 1, (out_f, out_q)
+
+
+def test_stop_strings_trim():
+    from flash_vstream_tpu.runtime.generation import trim_stop_strings
+    assert trim_stop_strings("a cat</s> junk", ("</s>",)) == "a cat"
+    assert trim_stop_strings("plain answer", ("</s>",)) == "plain answer"
+    assert trim_stop_strings("x<|im_end|>\ny", ("<|im_end|>",)) == "x"
+
+
 def test_sampling_respects_topk(rng):
     g = make_gen()
     embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
