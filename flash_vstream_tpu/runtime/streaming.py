@@ -130,10 +130,31 @@ class LLaVAStreamSession:
     def block_until_ingested(self):
         jax.block_until_ready(self.state.long)
 
+    def reset(self):
+        """Fresh stream state (jits stay compiled) — used after prewarming."""
+        self.state = init_star_state(
+            self.cfg.star, self.cfg.projector.effective_input_dim)
+        self._published = (None, 0)
+        self._step = 0
+
     @property
     def n_frames(self) -> int:
         """Published frame count (paired with the published snapshot)."""
         return self._published[1]
+
+    def _bucket_n_mem(self, n_mem_real: int) -> int:
+        """Round the memory token count up to ~3 buckets of its saturated
+        size: pre-saturation every new frame changes n_mem, and an
+        exact-size prompt would compile per answer (see
+        QwenStreamSession._bucket_t). Padded slots (pack_memory_tokens
+        emits invalid/zero rows past the real count) get segment -1."""
+        from ..models.vstream_llava import star_valid_counts
+        sat = sum(star_valid_counts(
+            self.cfg, self.cfg.star.video_max_frames, streaming=True))
+        for b in (max(sat // 4, 1), max(sat // 2, 1), sat):
+            if n_mem_real <= b:
+                return b
+        return sat
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
@@ -146,8 +167,9 @@ class LLaVAStreamSession:
                 # with an old snapshot
                 memory, n_frames = self._published
                 assert memory is not None, "no frames ingested yet"
-                n_mem = sum(star_valid_counts(self.cfg, n_frames,
-                                              streaming=True))
+                n_mem_real = sum(star_valid_counts(self.cfg, n_frames,
+                                                   streaming=True))
+                n_mem = self._bucket_n_mem(n_mem_real)
             conv = conv_templates[self.conv_template].copy()
             conv.append_message(conv.roles[0], "<image>\n" + question)
             conv.append_message(conv.roles[1], None)
@@ -165,16 +187,27 @@ class LLaVAStreamSession:
                                     memory.valid, jnp.asarray(pre),
                                     jnp.asarray(post_p), n_mem)
             S = embeds.shape[1]
-            real = p + n_mem + q_real
-            ar = np.arange(S)
-            positions = jnp.asarray(np.where(ar < real, ar, 0))[None]
-            seg = jnp.asarray(np.where(ar < real, 0, -1).astype(np.int32))[None]
+            # layout [pre | n_mem memory slots (n_mem_real valid) | post];
+            # padded slots: segment -1 (invisible), position 0 (unused);
+            # real post tokens keep positions continuing after REAL memory
+            positions = np.zeros(S, np.int64)
+            seg = np.full(S, -1, np.int32)
+            positions[:p] = np.arange(p)
+            seg[:p] = 0
+            positions[p:p + n_mem_real] = p + np.arange(n_mem_real)
+            seg[p:p + n_mem_real] = 0
+            post_pos0 = p + n_mem_real
+            positions[p + n_mem:p + n_mem + q_real] = \
+                post_pos0 + np.arange(q_real)
+            seg[p + n_mem:p + n_mem + q_real] = 0
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
             out = self.generator.generate(
-                embeds, positions, gen, decode_pos_start=real,
-                segment_ids=seg, last_real_idx=real - 1)
+                embeds, jnp.asarray(positions)[None], gen,
+                decode_pos_start=post_pos0 + q_real,
+                segment_ids=jnp.asarray(seg)[None],
+                last_real_idx=p + n_mem + q_real - 1)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         return trim_stop_strings(
             text, tuple(gen.stop_strings) or (conv.stop_str,))
@@ -205,6 +238,7 @@ class QwenStreamSession:
         self.grid_hw = (gh, gw)
         self.p_full = gh * gw
         self.p_small = (gh // 2) * (gw // 2)
+        self._bank_size = bank_size
         self.state = init_flash_state(cfg.flash_memory, self.p_full,
                                       self.p_small, cfg.vit.hidden_size,
                                       bank_size=bank_size)
@@ -265,6 +299,14 @@ class QwenStreamSession:
     def block_until_ingested(self):
         jax.block_until_ready(self.state.tem_x)
 
+    def reset(self):
+        """Fresh stream state (jits stay compiled) — used after prewarming."""
+        self.state = init_flash_state(
+            self.cfg.flash_memory, self.p_full, self.p_small,
+            self.cfg.vit.hidden_size, bank_size=self._bank_size)
+        self._published = (None, 0)
+        self._step = 0
+
     @property
     def n_frames(self) -> int:
         """Published frame-pair count (paired with the published snapshot)."""
@@ -312,6 +354,61 @@ class QwenStreamSession:
         self._assemble_cache[key] = fn
         return fn
 
+    @staticmethod
+    def _bucket_t(real: int, cap: int) -> int:
+        """Round a memory length up to one of ~3 buckets (cap/4, cap/2, cap).
+
+        Pre-saturation every ingest grows t_dam/t_csm, and an exact-size
+        prompt would compile a FRESH assemble+prefill+decode program per
+        answer (30-60 s each cold) — measured as missed ingest deadlines
+        early in a live stream. Bucketing bounds the shape set; padded
+        memory slots are masked out via segment ids."""
+        for b in (max(cap // 4, 1), max(cap // 2, 1), cap):
+            if real <= b:
+                return b
+        return cap
+
+    def _prompt_parts(self, question: str, snapshot, n_frames: int):
+        """(embeds, positions, decode_start, seg_row, last_real_idx) for one
+        stream's published snapshot. Memory sizes are bucketed; the padded
+        DAM/CSM slots get segment id -1 so attention never sees them."""
+        spa_pos, tem_pos, video_embeds = snapshot
+        fm = self.cfg.flash_memory
+        t_dam_real = min(n_frames, fm.dam_grid_len)
+        t_csm_real = min(n_frames, fm.csm_grid_len)
+        t_dam = self._bucket_t(t_dam_real, fm.dam_grid_len)
+        t_csm = self._bucket_t(t_csm_real, fm.csm_grid_len)
+        n_dam = t_dam * self.p_full // 4
+        n_csm = t_csm * self.p_small // 4
+        n_vis = n_dam + n_csm
+
+        input_ids, span = build_video_prompt(
+            self.cfg, self.tokenizer, question, n_video_tokens=n_vis)
+        start, _ = span
+        pre = input_ids[:start]
+        post = input_ids[start + n_vis:]
+        q_real = len(post)
+        Qb = -(-q_real // 32) * 32
+        pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
+
+        fn = self._assemble_fn(t_dam, t_csm, len(pre), Qb)
+        embeds, positions, decode_start = fn(
+            self.params, spa_pos, tem_pos, video_embeds,
+            jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
+        S = embeds.shape[1]
+        P = len(pre)
+        vis_valid = np.concatenate([
+            np.arange(n_dam) < t_dam_real * self.p_full // 4,
+            np.arange(n_csm) < t_csm_real * self.p_small // 4])
+        seg_row = np.concatenate([
+            np.zeros(P, np.int32),
+            np.where(vis_valid, 0, -1).astype(np.int32),
+            np.zeros(q_real, np.int32),
+            np.full(S - P - n_vis - q_real, -1, np.int32)])
+        last_real_idx = P + n_vis + q_real - 1
+        return embeds, positions, decode_start, seg_row, last_real_idx
+
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
         with Timer(self.metrics, "llm_latency"):
@@ -322,36 +419,15 @@ class QwenStreamSession:
                 # if an ingest thread publishes concurrently
                 snapshot, n_frames = self._published
                 assert snapshot is not None, "no frames ingested yet"
-                spa_pos, tem_pos, video_embeds = snapshot
-            fm = self.cfg.flash_memory
-            t_dam = min(n_frames, fm.dam_grid_len)
-            t_csm = min(n_frames, fm.csm_grid_len)
-            n_vis = t_dam * self.p_full // 4 + t_csm * self.p_small // 4
-
-            input_ids, span = build_video_prompt(
-                self.cfg, self.tokenizer, question, n_video_tokens=n_vis)
-            start, _ = span
-            pre = input_ids[:start]
-            post = input_ids[start + n_vis:]
-            q_real = len(post)
-            Qb = -(-q_real // 32) * 32
-            pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
-            post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
-
-            fn = self._assemble_fn(t_dam, t_csm, len(pre), Qb)
-            embeds, positions, decode_start = fn(
-                self.params, spa_pos, tem_pos, video_embeds,
-                jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
-            S = embeds.shape[1]
-            real = len(pre) + n_vis + q_real
-            seg = jnp.asarray(
-                np.where(np.arange(S) < real, 0, -1).astype(np.int32))[None]
+            embeds, positions, decode_start, seg_row, last_real = \
+                self._prompt_parts(question, snapshot, n_frames)
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
             out = self.generator.generate(
                 embeds, positions, gen, decode_pos_start=decode_start,
-                segment_ids=seg, last_real_idx=real - 1)
+                segment_ids=jnp.asarray(seg_row)[None],
+                last_real_idx=last_real)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         # ChatML assistant turns terminate on <|im_end|>
         return trim_stop_strings(
@@ -436,20 +512,22 @@ class QwenMultiStreamEngine:
         prompts share a shape; before saturation per-stream visual token
         counts may differ and answers fall back to per-stream decode."""
         sess = self.sess
-        counts = set(self._n_frames)
         fm = sess.cfg.flash_memory
-        t_dams = {min(c, fm.dam_grid_len) for c in counts}
-        t_csms = {min(c, fm.csm_grid_len) for c in counts}
+        # memory sizes BUCKET (QwenStreamSession._bucket_t), so streams with
+        # different frame counts often still share a prompt shape
+        t_dams = {sess._bucket_t(min(c, fm.dam_grid_len), fm.dam_grid_len)
+                  for c in self._n_frames}
+        t_csms = {sess._bucket_t(min(c, fm.csm_grid_len), fm.csm_grid_len)
+                  for c in self._n_frames}
         if len(t_dams) > 1 or len(t_csms) > 1:
             return [self.answer(i, q, gen) for i, q in enumerate(questions)]
 
         per = []
         for i, q in enumerate(questions):
             sess.state = self._one_state(i)
-            sess._published = (
-                jax.tree.map(lambda x: x[i], self._snapshots),
-                self._n_frames[i])
-            per.append(self._prompt(q))
+            snapshot = jax.tree.map(lambda x: x[i], self._snapshots)
+            sess._published = (snapshot, self._n_frames[i])
+            per.append(sess._prompt_parts(q, snapshot, self._n_frames[i]))
         S = max(e.shape[1] for e, *_ in per)
         B = self.n_streams
         D = per[0][0].shape[-1]
@@ -457,14 +535,13 @@ class QwenMultiStreamEngine:
         positions = jnp.zeros((3, B, S), jnp.int32)
         segments = jnp.full((B, S), -1, jnp.int32)
         starts, last_idx = [], []
-        for b, (e, p, dstart, real) in enumerate(per):
+        for b, (e, p, dstart, seg_row, last_real) in enumerate(per):
             n = e.shape[1]
             embeds = embeds.at[b, S - n:].set(e[0])
             positions = positions.at[:, b, S - n:].set(p[:, 0])
-            seg_row = jnp.where(jnp.arange(n) < real, 0, -1)
-            segments = segments.at[b, S - n:].set(seg_row)
-            starts.append(dstart)
-            last_idx.append(S - n + real - 1)
+            segments = segments.at[b, S - n:].set(jnp.asarray(seg_row))
+            starts.append(int(dstart))
+            last_idx.append(S - n + last_real)
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(sess.tokenizer.eos_token_id,))
         outs = sess.generator.generate_batch(
@@ -475,31 +552,6 @@ class QwenMultiStreamEngine:
         return [trim_stop_strings(
                     sess.tokenizer.decode(o, skip_special_tokens=True), stops)
                 for o in outs]
-
-    def _prompt(self, question: str):
-        """(embeds, positions, decode_start, n_real) for the current
-        sess.state/_published."""
-        sess = self.sess
-        (spa_pos, tem_pos, video_embeds), n_frames = sess._published
-        fm = sess.cfg.flash_memory
-        t_dam = min(n_frames, fm.dam_grid_len)
-        t_csm = min(n_frames, fm.csm_grid_len)
-        n_vis = t_dam * sess.p_full // 4 + t_csm * sess.p_small // 4
-        input_ids, span = build_video_prompt(
-            sess.cfg, sess.tokenizer, question, n_video_tokens=n_vis)
-        start, _ = span
-        pre = input_ids[:start]
-        post = input_ids[start + n_vis:]
-        q_real = len(post)
-        Qb = -(-q_real // 32) * 32
-        pad_id = getattr(sess.tokenizer, "pad_token_id", 0) or 0
-        post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
-        fn = sess._assemble_fn(t_dam, t_csm, len(pre), Qb)
-        embeds, positions, decode_start = fn(
-            sess.params, spa_pos, tem_pos, video_embeds,
-            jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
-        real = len(pre) + n_vis + q_real
-        return embeds, positions, int(decode_start), real
 
 
 class ThreadedIngestor:

@@ -79,12 +79,68 @@ def build_session(args):
                                   kv_cache_dtype=kv_dtype)
 
 
+def prewarm_session(session, args, gen, logger):
+    """Compile every answer bucket BEFORE the stream starts.
+
+    Pre-saturation answers cross 3-4 (t_dam, t_csm) / n_mem buckets; each
+    bucket's assemble+prefill+decode programs compile 30-60 s cold through
+    the remote compile service, which showed up as missed ingest deadlines
+    early in live streams. Prewarming moves all of it ahead of frame zero,
+    then resets the stream state (jits stay compiled)."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    side = 56 if args.dry_run else args.frame_size
+    dummy = [np.zeros((side, side, 3), np.uint8)] * args.clip_size
+    session.ingest_frames(dummy)
+    session.block_until_ingested()
+    snapshot, _ = session._published
+    q = args.question or "What is happening?"
+    if hasattr(session, "_prompt_parts"):          # Qwen family
+        fm = session.cfg.flash_memory
+        ns = sorted({max(fm.dam_grid_len // 4, 1), max(fm.dam_grid_len // 2, 1),
+                     fm.dam_grid_len, max(fm.csm_grid_len // 4, 1),
+                     max(fm.csm_grid_len // 2, 1), fm.csm_grid_len})
+        seen = set()
+        for n in ns:
+            key = (session._bucket_t(min(n, fm.dam_grid_len), fm.dam_grid_len),
+                   session._bucket_t(min(n, fm.csm_grid_len), fm.csm_grid_len))
+            if key in seen:
+                continue
+            seen.add(key)
+            e, p, d, seg, last = session._prompt_parts(q, snapshot, n)
+            session.generator.generate(
+                e, p, gen, decode_pos_start=d,
+                segment_ids=jnp.asarray(seg)[None], last_real_idx=last)
+    else:                                          # LLaVA family
+        from ..models.vstream_llava import star_valid_counts
+        sat_frames = session.cfg.star.video_max_frames
+        seen = set()
+        for n in range(1, sat_frames + 1):
+            b = session._bucket_n_mem(
+                sum(star_valid_counts(session.cfg, n, streaming=True)))
+            if b in seen:
+                continue
+            seen.add(b)
+            session._published = (session._published[0], n)
+            session.answer(q, gen)
+    session.reset()
+    session.metrics = MetricMeter()
+    logger.info(f"prewarmed {len(seen)} answer buckets in "
+                f"{time.perf_counter() - t0:.1f}s")
+
+
 def run_server(args) -> dict:
     logger = build_logger("cli_server", args.log_file)
 
     from ..core.runtime_setup import enable_compilation_cache
     enable_compilation_cache()
     session = build_session(args)
+    if args.prewarm:
+        prewarm_session(
+            session, args,
+            GenerationConfig(max_new_tokens=args.max_new_tokens,
+                             eos_token_ids=(session.tokenizer.eos_token_id,)),
+            logger)
 
     if args.video_file:
         src = load_video(args.video_file, fps=args.fps,
@@ -208,6 +264,9 @@ def make_parser():
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--output-file", type=str, default=None)
     p.add_argument("--sync-every-clip", action="store_true")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile all answer shape buckets before streaming "
+                        "(no mid-stream compile stalls)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves "
                         "decode's cache HBM reads)")
