@@ -39,19 +39,53 @@ def get_chunk(lst: List, n: int, k: int) -> List:
 
 def sample_frame_paths(video_dir: str, fps: Optional[float],
                        max_frames: Optional[int],
-                       source_fps: float = 1.0) -> List[str]:
+                       source_fps: float = 1.0, dataset: str = "",
+                       reproduce: bool = False) -> List[str]:
+    """Frame-dir sampling with the reference's mode set
+    (inference_mcq_vqa.py:244-289): fps subsample; max_frames linspace;
+    tight (i, i+1) pairs for frames_fps4 dirs; duplicated pairs for
+    rvs_movie; --reproduce = every 4th frame (egoschema paper setting)."""
+    import numpy as np
     names = sorted(os.listdir(video_dir),
                    key=lambda x: int(x.split("_")[-1].split(".")[0])
                    if x.split("_")[-1].split(".")[0].isdigit() else 0)
     paths = [os.path.join(video_dir, n) for n in names]
-    if fps is not None and fps < source_fps:
-        step = max(int(round(source_fps / fps)), 1)
-        paths = paths[::step]
-    if max_frames is not None and len(paths) > max_frames:
-        import numpy as np
-        idx = np.linspace(0, len(paths) - 1, max_frames).round().astype(int)
-        paths = [paths[i] for i in idx]
-    return paths
+    if reproduce:
+        return paths[::4]
+    T = len(paths)
+    if fps is not None:
+        if fps < source_fps:
+            step = max(int(round(source_fps / fps)), 1)
+            paths = paths[::step]
+        if max_frames is not None and len(paths) > max_frames:
+            idx = np.linspace(0, len(paths) - 1, max_frames).round().astype(int)
+            paths = [paths[i] for i in idx]
+        return paths
+    if max_frames is None or T <= max_frames:
+        if "rvs_movie" in dataset:
+            # duplicated pairs: each sampled frame twice (temporal patch
+            # pairs see a still frame, matching the reference's rvs_movie
+            # handling)
+            n = min(T, (max_frames or 2 * T) // 2)
+            idx = np.linspace(0, T - 1, max(n, 1)).round().astype(int)
+            return [p for i in idx for p in (paths[i], paths[i])]
+        return paths
+    if "frames_fps4" in video_dir:
+        # tight pairs from a 4 fps dir: (i, i+1) half-second pairs
+        assert max_frames % 2 == 0, "max_frames must be even for fps4 dirs"
+        idx = np.linspace(0, T - 1, max_frames // 2).round().astype(int)
+        out = []
+        for i in idx:
+            a, b = (i, i + 1) if i < T - 1 else (i - 1, i)
+            out.append(paths[a])
+            out.append(paths[b])
+        return out
+    if "rvs_movie" in dataset:
+        n = min(T, max_frames // 2)
+        idx = np.linspace(0, T - 1, max(n, 1)).round().astype(int)
+        return [p for i in idx for p in (paths[i], paths[i])]
+    idx = np.linspace(0, T - 1, max_frames).round().astype(int)
+    return [paths[i] for i in idx]
 
 
 def load_frames(paths: List[str]):
@@ -103,7 +137,9 @@ def run_inference(args, pipeline=None) -> str:
                 if not os.path.exists(video_path):
                     raise FileNotFoundError(video_path)
                 paths = sample_frame_paths(video_path, args.fps,
-                                           args.max_frames)
+                                           args.max_frames,
+                                           dataset=args.dataset,
+                                           reproduce=args.reproduce)
                 subtitle = ""
                 if "videommesub" in args.dataset and args.subtitle_dir:
                     from .subtitles import get_subtitle
@@ -177,6 +213,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="directory of <video_id>.srt files (videommesub)")
     p.add_argument("--dry-run", action="store_true",
                    help="tiny random-init model (no checkpoint needed)")
+    p.add_argument("--reproduce", action="store_true",
+                   help="paper-reproduction sampling: every 4th frame "
+                        "(reference inference_mcq_vqa.py:244-246)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. 'cpu'). Needed for "
                         "subprocess workers: the host profile may override "

@@ -100,6 +100,40 @@ def test_unknown_dataset_errors(tmp_path):
                                "--output-dir", str(tmp_path)])
 
 
+def test_frame_sampling_modes(tmp_path):
+    """Reference sampling modes (inference_mcq_vqa.py:244-289): linspace,
+    fps, tight fps4 pairs, rvs_movie duplicate pairs, --reproduce."""
+    from flash_vstream_tpu.eval.inference_mcq_vqa import sample_frame_paths
+    d = tmp_path / "frames_fps4" / "vid"
+    d.mkdir(parents=True)
+    for t in range(40):
+        (d / f"frame_{t:06d}.jpg").write_bytes(b"x")
+    d = str(d)
+    # max_frames linspace (non-fps4 path name)
+    plain = tmp_path / "plain" / "vid"
+    plain.mkdir(parents=True)
+    for t in range(40):
+        (plain / f"frame_{t:06d}.jpg").write_bytes(b"x")
+    out = sample_frame_paths(str(plain), None, 8)
+    assert len(out) == 8 and out == sorted(out)
+    # fps subsample
+    out = sample_frame_paths(str(plain), 0.5, None)
+    assert len(out) == 20
+    # tight pairs from an fps4 dir: consecutive (i, i+1) frames
+    out = sample_frame_paths(d, None, 8)
+    assert len(out) == 8
+    for a, b in zip(out[::2], out[1::2]):
+        ia = int(a.split("_")[-1].split(".")[0])
+        ib = int(b.split("_")[-1].split(".")[0])
+        assert ib == ia + 1
+    # rvs_movie: each sampled frame duplicated
+    out = sample_frame_paths(str(plain), None, 8, dataset="rvs_movie")
+    assert len(out) == 8 and all(a == b for a, b in zip(out[::2], out[1::2]))
+    # reproduce: every 4th frame
+    out = sample_frame_paths(str(plain), None, None, reproduce=True)
+    assert len(out) == 10
+
+
 def test_eval_chunked_subprocess(tmp_path):
     """num_chunks > 1: workers run as subprocesses; results merge in scoring."""
     import subprocess
