@@ -73,6 +73,8 @@ def launch_workers(args, info: dict) -> List[str]:
         common += ["--subtitle-dir", args.subtitle_dir]
     if args.dry_run:
         common += ["--dry-run"]
+    if args.reproduce:
+        common += ["--reproduce"]
 
     files = []
     if args.num_chunks == 1:
@@ -113,6 +115,8 @@ def main(argv=None):
     p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
     p.add_argument("--flash-memory-dict", type=str, default=None)
     p.add_argument("--use-high-fps", action="store_true")
+    p.add_argument("--reproduce", action="store_true",
+                   help="paper-reproduction frame sampling (every 4th)")
     p.add_argument("--subtitle-dir", type=str, default=None,
                    help="<video_id>.srt directory (videommesub)")
     p.add_argument("--judge-model", type=str, default="gpt-3.5-turbo-0125")
