@@ -40,6 +40,34 @@ def test_cli_server_dry_run_llava(tmp_path):
     assert len(summary["answers"]) == 1
 
 
+def test_cli_server_prewarm_qwen(tmp_path):
+    """--prewarm compiles the answer buckets up front, resets state, and the
+    stream then runs normally (no leftover warmup frames in counts)."""
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run",
+        "--synthetic-frames", "8", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "Q?", "--question_interval", "1000",
+        "--max-new-tokens", "4", "--prewarm",
+    ])
+    summary = run_server(args)
+    assert summary["frames_ingested"] == 8
+    assert len(summary["answers"]) == 1
+
+
+def test_cli_server_prewarm_llava(tmp_path):
+    args = make_parser().parse_args([
+        "--model-family", "llava", "--dry-run",
+        "--synthetic-frames", "4", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "Q?", "--question_interval", "1000",
+        "--max-new-tokens", "4", "--prewarm",
+    ])
+    summary = run_server(args)
+    assert summary["frames_ingested"] == 4
+    assert len(summary["answers"]) == 1
+
+
 def test_cli_server_frame_dir(tmp_path):
     import numpy as np
     from PIL import Image
