@@ -57,11 +57,16 @@ ACTIVATIONS = {
 
 
 def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Matmul accepting either a plain weight or a weight-only int8
-    QuantWeight (weights/quantize.py): the int8 operand converts in the MXU
-    feed and the per-channel scale applies to the output, so HBM reads stay
-    int8."""
-    if hasattr(w, "q"):   # QuantWeight
+    """Matmul accepting a plain weight, a weight-only int8 QuantWeight
+    (weights/quantize.py: int8 operand converts in the MXU feed, per-channel
+    scale on the output — HBM reads stay int8), or a merge-free LoRAWeight
+    view (train/lora.py: x@w + ((x@a)@b)*scale — the merged matrix is never
+    materialized and backward touches only the rank-r factors)."""
+    if hasattr(w, "a"):            # LoRAWeight (base may itself be quantized)
+        out = dense(x, w.w)
+        out = out + jnp.dot(jnp.dot(x, w.a.astype(x.dtype)),
+                            w.b.astype(x.dtype)).astype(out.dtype)
+    elif hasattr(w, "q"):          # QuantWeight
         out = jnp.dot(x, w.q.astype(x.dtype))
         out = out * w.scale.astype(out.dtype)
     else:

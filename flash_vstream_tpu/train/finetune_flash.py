@@ -127,7 +127,8 @@ def run_training(args) -> dict:
     from . import recipes
     from .checkpoint import (latest_checkpoint, restore_checkpoint,
                              save_checkpoint)
-    from .lora import QWEN_TARGETS, init_lora_params, merge_lora
+    from .lora import (QWEN_TARGETS, init_lora_params, lora_views,
+                       merge_lora)
     from .trainer import Trainer
     from ..models.vstream_qwen import build_qwen_positions
 
@@ -208,8 +209,13 @@ def run_training(args) -> dict:
         return patches, grid, ids, labels, span, seg
 
     def make_loss(grid, span):
-        def one_sample(lora_params, patches, ids, labels, seg, key):
-            eff = merge_lora(params, lora_params, alpha=alpha, rank=rank)
+        def one_sample(lora_params, base, patches, ids, labels, seg, key):
+            # merge-free views: no full merged copy in HBM, backward only
+            # touches the rank-r factors (train/lora.LoRAWeight). `base`
+            # arrives as a jit ARGUMENT via the trainer's frozen tree —
+            # closing over it would capture the full model as HLO constants
+            # (gigabytes of serialization per compile; see CLAUDE.md)
+            eff = lora_views(base, lora_params, alpha=alpha, rank=rank)
             from ..models.vstream_qwen import encode_video
             vis = encode_video(eff, cfg, patches, grid, key=key)
             positions, _ = build_qwen_positions(max_len, span[0], span[1],
@@ -226,12 +232,13 @@ def run_training(args) -> dict:
             logits = lm_head(eff["llm"], cfg.llm, h)
             return cross_entropy_loss(logits, labels[None])
 
-        def loss_fn(lora_params, batch, key):
+        def loss_fn(lora_params, batch, key, base):
             # batch leaves [B, ...]; B = per-shard bsz x dp (the trainer
             # shards this dim over the dp mesh axis)
             B = batch["ids"].shape[0]
-            losses = jax.vmap(one_sample, in_axes=(None, 0, 0, 0, 0, 0))(
-                lora_params, batch["patches"], batch["ids"],
+            losses = jax.vmap(one_sample,
+                              in_axes=(None, None, 0, 0, 0, 0, 0))(
+                lora_params, base, batch["patches"], batch["ids"],
                 batch["labels"], batch["seg"], jax.random.split(key, B))
             return jnp.mean(losses)
         return loss_fn
@@ -241,7 +248,8 @@ def run_training(args) -> dict:
     order = sorted(buckets, key=lambda hw: -len(buckets[hw]))
     first_hw = order[0]
     first = prepare(buckets[first_hw][0], first_hw)
-    trainer = Trainer(make_loss(first[1], first[4]), lora, tcfg, mesh=mesh)
+    trainer = Trainer(make_loss(first[1], first[4]), lora, tcfg, mesh=mesh,
+                      frozen=params)
     step_fns = {first_hw: trainer._train_step}
 
     def step_fn_for(hw):

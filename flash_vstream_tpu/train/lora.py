@@ -19,10 +19,12 @@ import jax.numpy as jnp
 
 from ..parallel.sharding import path_str
 
-# default targets: every attention/mlp projection of the decoder
+# default targets: every attention/mlp projection of the DECODER only —
+# anchored so "vit/layers/attn/..." never matches (the reference excludes
+# the vision tower from LoRA, finetune_flash.py:544-554)
 DEFAULT_TARGETS = (
-    r"layers/attn/w[qkvo]/w$",
-    r"layers/mlp/(gate|up|down)/w$",
+    r"^(llm/)?layers/attn/w[qkvo]/w$",
+    r"^(llm/)?layers/mlp/(gate|up|down)/w$",
 )
 QWEN_TARGETS = DEFAULT_TARGETS + (r"merger/fc[12]/w$",)
 
@@ -50,8 +52,54 @@ def init_lora_params(key: jax.Array, params, rank: int,
     return flat
 
 
+from typing import NamedTuple
+
+
+class LoRAWeight(NamedTuple):
+    """(w, a, b) view consumed by layers.dense WITHOUT materializing
+    w + (alpha/r) a@b: the dense computes x@w + (x@a)@b, with the
+    (alpha/r) scale pre-folded into `a` at view time, so
+
+    - no merged full-size parameter copy lives in HBM (at 2B+ the merged
+      tree plus its full-size cotangents under grad OOMed one chip),
+    - under jax.grad wrt the adapter tree, the base-w branch has no grad
+      consumer and is pruned — backward touches only the rank-r factors,
+    - every field has the stacked [L, ...] leading axis, so the tree scans
+      over layers like plain weights.
+
+    NamedTuple => pytree whose type survives tree operations (same pattern
+    as weights/quantize.QuantWeight).
+    """
+    w: jnp.ndarray
+    a: jnp.ndarray       # pre-scaled by alpha/rank
+    b: jnp.ndarray
+
+
+def lora_views(params, lora: Dict[str, dict], alpha: float, rank: int):
+    """Effective tree with LoRAWeight views at adapted leaves (merge-free;
+    preferred inside training steps). Base arrays are referenced, not
+    copied; only the rank-r `a` factor is scaled (a tiny copy).
+
+    The base tree is stop_gradient'ed: without it, differentiating through
+    the scan-over-layers materializes stacked [L, din, dout] cotangent
+    buffers for every base weight (gigabytes of HLO temps — OOMed a 2B
+    LoRA step) even though no base gradient is ever consumed."""
+    scale = alpha / rank
+    params = jax.lax.stop_gradient(params)
+
+    def one(path, x):
+        p = path_str(path)
+        ab = lora.get(p)
+        if ab is None:
+            return x
+        return LoRAWeight(x, ab["a"] * scale, ab["b"])
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def merge_lora(params, lora: Dict[str, dict], alpha: float, rank: int):
-    """Effective params: w + (alpha/rank) * a @ b at each adapted leaf."""
+    """Effective params: w + (alpha/rank) * a @ b at each adapted leaf
+    (materialized — use for export; training steps use lora_views)."""
     scale = alpha / rank
 
     def one(path, x):

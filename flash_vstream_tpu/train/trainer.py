@@ -90,13 +90,25 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 
 
 class Trainer:
-    """Sharded trainer. `loss_fn(params, batch, key) -> scalar loss`."""
+    """Sharded trainer. `loss_fn(params, batch, key) -> scalar loss`, or
+    `loss_fn(params, batch, key, frozen)` when a `frozen` tree is given.
+
+    `frozen` carries large non-trained parameters (e.g. the base model under
+    LoRA) as a jit ARGUMENT: a loss that closes over them instead captures
+    them as HLO constants — gigabytes of host serialization per compile and
+    a hard failure through remote compile services (see CLAUDE.md)."""
 
     def __init__(self, loss_fn: Callable, params, cfg: TrainConfig,
-                 mesh=None, donate_params: bool = True):
+                 mesh=None, donate_params: bool = True, frozen=None):
         self.cfg = cfg
         self.mesh = mesh or create_mesh(tp=1)
         self.optimizer = make_optimizer(cfg, params)
+        self.frozen = frozen
+        if frozen is not None:
+            with self.mesh:
+                self.frozen = jax.jit(
+                    lambda p: p,
+                    out_shardings=param_shardings(self.mesh, frozen))(frozen)
 
         self.param_sharding = param_shardings(self.mesh, params)
         opt_state_shape = jax.eval_shape(self.optimizer.init, params)
@@ -159,14 +171,20 @@ class Trainer:
                 return x
             return jax.tree.map(one, batch)
 
-        def train_step(params, opt_state, batch, key):
+        has_frozen = self.frozen is not None
+
+        def train_step(params, opt_state, batch, key, frozen=None):
             # batch leaves: [accum, per_step_batch, ...]
             batch = shard_batch(batch)
 
             def micro(carry, mb):
                 acc, key = carry
                 key, sub = jax.random.split(key)
-                loss, grads = jax.value_and_grad(loss_fn)(params, mb, sub)
+                if has_frozen:
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, mb, sub, frozen)
+                else:
+                    loss, grads = jax.value_and_grad(loss_fn)(params, mb, sub)
                 acc = jax.tree.map(lambda a, g: a + g / accum, acc, grads)
                 return (acc, key), loss
 
@@ -200,7 +218,12 @@ class Trainer:
         """batch leaves shaped [grad_accum, micro_batch, ...]; micro_batch
         should be a multiple of mesh dp so samples shard across devices."""
         with self.mesh:
-            self.params, self.opt_state, loss = (step_fn or self._train_step)(
-                self.params, self.opt_state, batch, key)
+            fn = step_fn or self._train_step
+            if self.frozen is not None:
+                self.params, self.opt_state, loss = fn(
+                    self.params, self.opt_state, batch, key, self.frozen)
+            else:
+                self.params, self.opt_state, loss = fn(
+                    self.params, self.opt_state, batch, key)
         self.step += 1
         return float(loss)

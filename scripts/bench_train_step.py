@@ -25,11 +25,18 @@ def main():
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--lora-rank", type=int, default=64)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims on CPU (script logic check)")
     args = ap.parse_args()
 
     import dataclasses
+    import os as _os
 
+    if args.tiny:
+        _os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from flash_vstream_tpu.core.config import (
@@ -43,24 +50,31 @@ def main():
                                                        init_qwen_params)
     from flash_vstream_tpu.parallel.sharding import create_mesh
     from flash_vstream_tpu.train.lora import (QWEN_TARGETS, init_lora_params,
-                                              merge_lora)
+                                              lora_views)
     from flash_vstream_tpu.train.trainer import TrainConfig, Trainer
 
     enable_compilation_cache()
 
-    cfg = VStreamQwenConfig(
-        vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=1536),
-        llm=LLMConfig(vocab_size=151936, hidden_size=1536,
-                      intermediate_size=8960, num_layers=28, num_heads=12,
-                      num_kv_heads=2, attention_bias=True, rope_theta=1e6,
-                      mrope_sections=(16, 24, 24)),
-        flash_memory=FlashMemoryConfig(temporal_length=16, spatial_length=8),
-    )
+    if args.tiny:
+        from flash_vstream_tpu.core.config import tiny_qwen_config
+        cfg = tiny_qwen_config()
+        cfg = cfg.replace(flash_memory=FlashMemoryConfig(
+            temporal_length=16, spatial_length=8))
+    else:
+        cfg = VStreamQwenConfig(
+            vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=1536),
+            llm=LLMConfig(vocab_size=151936, hidden_size=1536,
+                          intermediate_size=8960, num_layers=28, num_heads=12,
+                          num_kv_heads=2, attention_bias=True, rope_theta=1e6,
+                          mrope_sections=(16, 24, 24)),
+            flash_memory=FlashMemoryConfig(temporal_length=16,
+                                           spatial_length=8),
+        )
     params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     lora = init_lora_params(jax.random.PRNGKey(1), params,
                             rank=args.lora_rank, targets=QWEN_TARGETS)
 
-    t, gh, gw = args.frames // 2, 16, 16       # 224x224 frames
+    t, gh, gw = args.frames // 2, (4 if args.tiny else 16), (4 if args.tiny else 16)
     grid = (t, gh, gw)
     pd = 3 * 2 * 14 * 14
     dam = min(t, cfg.flash_memory.dam_grid_len) * gh * gw // 4
@@ -70,8 +84,8 @@ def main():
     start = 16
     assert start + n_vis < S
 
-    def loss_fn(lora_params, batch, key):
-        eff = merge_lora(params, lora_params, alpha=32, rank=args.lora_rank)
+    def loss_fn(lora_params, batch, key, base):
+        eff = lora_views(base, lora_params, alpha=32, rank=args.lora_rank)
         vis = encode_video(eff, cfg, batch["patches"], grid, key=key)
         ids = batch["ids"][None]
         embeds = embed_tokens(eff["llm"], ids)
@@ -88,14 +102,17 @@ def main():
 
     tcfg = TrainConfig(learning_rate=8e-4, total_steps=100,
                        grad_accum=args.accum, warmup_ratio=0.0)
-    trainer = Trainer(loss_fn, lora, tcfg, mesh=create_mesh(dp=1, tp=1))
+    trainer = Trainer(loss_fn, lora, tcfg, mesh=create_mesh(dp=1, tp=1),
+                      frozen=params)
 
     rng = np.random.default_rng(0)
     batch = {
         "patches": jnp.asarray(rng.normal(
             size=(args.accum, t * gh * gw * 2 // 2, pd)).astype(np.float32)),
-        "ids": jnp.asarray(rng.integers(1, 150000, (args.accum, S))),
-        "labels": jnp.asarray(rng.integers(1, 150000, (args.accum, S))),
+        "ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
+                                        (args.accum, S))),
+        "labels": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
+                                           (args.accum, S))),
     }
     # patches per microbatch: [t*gh*gw, pd]
     batch["patches"] = jnp.asarray(rng.normal(

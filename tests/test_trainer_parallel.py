@@ -108,6 +108,38 @@ def test_frozen_params_unchanged(rng):
     assert not np.allclose(np.asarray(tr.params["lm_head"]), head_before)
 
 
+def test_lora_views_match_merge(rng):
+    """Merge-free LoRAWeight views compute the same forward as the
+    materialized merge, and grads flow only through the rank-r factors."""
+    from flash_vstream_tpu.train.lora import lora_views
+    base = init_llm_params(jax.random.PRNGKey(0), CFG)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
+    # b starts at zero; give it real values so the adapter actually acts
+    lora = {k: {"a": v["a"],
+                "b": jax.random.normal(jax.random.PRNGKey(2), v["b"].shape)
+                * 0.05}
+            for k, v in lora.items()}
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)))
+    pos = jnp.broadcast_to(jnp.arange(16)[None], ids.shape)
+
+    def fwd(params):
+        h, _ = decoder_forward(params, CFG, embed_tokens(params, ids), pos)
+        return lm_head(params, CFG, h)
+
+    merged = fwd(merge_lora(base, lora, alpha=8, rank=4))
+    viewed = fwd(lora_views(base, lora, alpha=8, rank=4))
+    np.testing.assert_allclose(np.asarray(viewed), np.asarray(merged),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(lora_params):
+        eff = lora_views(base, lora_params, alpha=8, rank=4)
+        return jnp.sum(fwd(eff).astype(jnp.float32) ** 2) * 1e-6
+
+    g = jax.grad(loss)(lora)
+    gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_lora_training(rng):
     base = init_llm_params(jax.random.PRNGKey(0), CFG)
     lora = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
