@@ -33,19 +33,34 @@ def is_lora_target(path: str, targets: Sequence[str]) -> bool:
     return any(re.search(t, path) for t in targets)
 
 
+def _is_weight_leaf(x) -> bool:
+    """Treat int8 QuantWeight as ONE leaf so a quantized base tree adapts
+    the same way a bf16 one does (QLoRA: the reference's bnb 4/8-bit load +
+    peft LoRA, train/train.py:877-894 + 926-942)."""
+    from ..weights.quantize import QuantWeight
+    return isinstance(x, QuantWeight)
+
+
+def _weight_shape(x):
+    return x.q.shape if hasattr(x, "q") else x.shape
+
+
 def init_lora_params(key: jax.Array, params, rank: int,
                      targets: Sequence[str] = DEFAULT_TARGETS,
                      dtype=jnp.float32):
     """Adapter tree: for each targeted weight [..., din, dout], a: [..., din, r]
-    (gaussian / sqrt(r)) and b: [..., r, dout] (zeros), matching peft init."""
+    (gaussian / sqrt(r)) and b: [..., r, dout] (zeros), matching peft init.
+    Works over bf16 and weight-only-int8 (QLoRA) base trees."""
     flat = {}
-    leaves = jax.tree_util.tree_leaves_with_path(params)
+    leaves = jax.tree_util.tree_leaves_with_path(params,
+                                                 is_leaf=_is_weight_leaf)
     keys = jax.random.split(key, len(leaves))
     for (path, x), k in zip(leaves, keys):
         p = path_str(path)
-        if not is_lora_target(p, targets) or x.ndim < 2:
+        shape = _weight_shape(x)
+        if not is_lora_target(p, targets) or len(shape) < 2:
             continue
-        *lead, din, dout = x.shape
+        *lead, din, dout = shape
         a = jax.random.normal(k, (*lead, din, rank), dtype) / jnp.sqrt(rank)
         b = jnp.zeros((*lead, rank, dout), dtype)
         flat[p] = {"a": a, "b": b}
@@ -94,12 +109,14 @@ def lora_views(params, lora: Dict[str, dict], alpha: float, rank: int):
             return x
         return LoRAWeight(x, ab["a"] * scale, ab["b"])
 
-    return jax.tree_util.tree_map_with_path(one, params)
+    return jax.tree_util.tree_map_with_path(one, params,
+                                            is_leaf=_is_weight_leaf)
 
 
 def merge_lora(params, lora: Dict[str, dict], alpha: float, rank: int):
     """Effective params: w + (alpha/rank) * a @ b at each adapted leaf
-    (materialized — use for export; training steps use lora_views)."""
+    (materialized — use for export; training steps use lora_views).
+    Quantized leaves dequantize before merging (QLoRA export)."""
     scale = alpha / rank
 
     def one(path, x):
@@ -107,10 +124,14 @@ def merge_lora(params, lora: Dict[str, dict], alpha: float, rank: int):
         ab = lora.get(p)
         if ab is None:
             return x
+        if hasattr(x, "q"):
+            from ..weights.quantize import dequantize_weight
+            x = dequantize_weight(x, dtype=ab["a"].dtype)
         delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * scale
         return x + delta.astype(x.dtype)
 
-    return jax.tree_util.tree_map_with_path(one, params)
+    return jax.tree_util.tree_map_with_path(one, params,
+                                            is_leaf=_is_weight_leaf)
 
 
 def merge_lora_into_weights(params, lora, alpha: float, rank: int):

@@ -140,6 +140,41 @@ def test_lora_views_match_merge(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_qlora_int8_base(rng):
+    """QLoRA: LoRA adapters over a weight-only int8 base (the reference's
+    bnb 4/8-bit + peft combination). Views forward stays close to the
+    dequantized-merge forward and adapter grads are finite and nonzero."""
+    from flash_vstream_tpu.train.lora import lora_views
+    from flash_vstream_tpu.weights.quantize import quantize_params
+    base = init_llm_params(jax.random.PRNGKey(0), CFG)
+    qbase = quantize_params(base)
+    lora = init_lora_params(jax.random.PRNGKey(1), qbase, rank=4)
+    assert "layers/attn/wq/w" in lora        # targets found through QuantWeight
+    lora = {k: {"a": v["a"],
+                "b": jax.random.normal(jax.random.PRNGKey(2), v["b"].shape)
+                * 0.05}
+            for k, v in lora.items()}
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 12)))
+    pos = jnp.broadcast_to(jnp.arange(12)[None], ids.shape)
+
+    def fwd(params):
+        h, _ = decoder_forward(params, CFG, embed_tokens(params, ids), pos)
+        return lm_head(params, CFG, h)
+
+    viewed = fwd(lora_views(qbase, lora, alpha=8, rank=4))
+    merged = fwd(merge_lora(qbase, lora, alpha=8, rank=4))
+    np.testing.assert_allclose(np.asarray(viewed), np.asarray(merged),
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(lora_params):
+        eff = lora_views(qbase, lora_params, alpha=8, rank=4)
+        return jnp.sum(fwd(eff).astype(jnp.float32) ** 2) * 1e-6
+
+    g = jax.grad(loss)(lora)
+    gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_lora_training(rng):
     base = init_llm_params(jax.random.PRNGKey(0), CFG)
     lora = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
