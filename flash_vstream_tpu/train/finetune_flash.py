@@ -150,6 +150,11 @@ def run_training(args) -> dict:
                 json.loads(args.flash_memory_dict)))
         params = load_qwen_checkpoint(args.model_path, cfg,
                                       dtype=jnp.bfloat16)
+        if args.int8_base:
+            # QLoRA: frozen base in weight-only int8 (the reference's
+            # bnb 4/8-bit + LoRA combination); adapters stay bf16/f32
+            from ..weights.quantize import quantize_params
+            params = quantize_params(params)
         tokenizer = load_tokenizer(args.model_path)
 
     items = json.load(open(args.data_path))
@@ -330,6 +335,9 @@ def make_parser():
     p.add_argument("--output-dir", required=True)
     p.add_argument("--batch-size", type=int, default=1,
                    help="per-dp-shard microbatch size (total = this x dp)")
+    p.add_argument("--int8-base", action="store_true",
+                   help="QLoRA: quantize the frozen base to weight-only "
+                        "int8 (halves base HBM; bnb-bits analog)")
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--learning-rate", type=float, default=8e-4)
