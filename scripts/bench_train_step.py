@@ -107,16 +107,14 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = {
+        # patches per microbatch: [t*gh*gw, pd]
         "patches": jnp.asarray(rng.normal(
-            size=(args.accum, t * gh * gw * 2 // 2, pd)).astype(np.float32)),
+            size=(args.accum, t * gh * gw, pd)).astype(np.float32)),
         "ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
                                         (args.accum, S))),
         "labels": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
                                            (args.accum, S))),
     }
-    # patches per microbatch: [t*gh*gw, pd]
-    batch["patches"] = jnp.asarray(rng.normal(
-        size=(args.accum, t * gh * gw, pd)).astype(np.float32))
 
     t0 = time.perf_counter()
     trainer.run_step(batch, jax.random.PRNGKey(0))
