@@ -46,6 +46,14 @@ def sample_frame_paths(video_dir: str, fps: Optional[float],
     tight (i, i+1) pairs for frames_fps4 dirs; duplicated pairs for
     rvs_movie; --reproduce = every 4th frame (egoschema paper setting)."""
     import numpy as np
+
+    def dup_pairs(paths, n):
+        """Each sampled frame twice (temporal patch pairs see a still
+        frame — the reference's rvs_movie handling)."""
+        T = len(paths)
+        idx = np.linspace(0, T - 1, max(n, 1)).round().astype(int)
+        return [p for i in idx for p in (paths[i], paths[i])]
+
     names = sorted(os.listdir(video_dir),
                    key=lambda x: int(x.split("_")[-1].split(".")[0])
                    if x.split("_")[-1].split(".")[0].isdigit() else 0)
@@ -54,21 +62,16 @@ def sample_frame_paths(video_dir: str, fps: Optional[float],
         return paths[::4]
     T = len(paths)
     if fps is not None:
+        # fps mode is UNCAPPED (the reference sets max_frames=10000 here,
+        # inference_mcq_vqa.py:284-289) — do not apply --max-frames
         if fps < source_fps:
             step = max(int(round(source_fps / fps)), 1)
             paths = paths[::step]
-        if max_frames is not None and len(paths) > max_frames:
-            idx = np.linspace(0, len(paths) - 1, max_frames).round().astype(int)
-            paths = [paths[i] for i in idx]
         return paths
+    if "rvs_movie" in dataset:
+        n = min(T, (max_frames or 2 * T) // 2)
+        return dup_pairs(paths, n)
     if max_frames is None or T <= max_frames:
-        if "rvs_movie" in dataset:
-            # duplicated pairs: each sampled frame twice (temporal patch
-            # pairs see a still frame, matching the reference's rvs_movie
-            # handling)
-            n = min(T, (max_frames or 2 * T) // 2)
-            idx = np.linspace(0, T - 1, max(n, 1)).round().astype(int)
-            return [p for i in idx for p in (paths[i], paths[i])]
         return paths
     if "frames_fps4" in video_dir:
         # tight pairs from a 4 fps dir: (i, i+1) half-second pairs
@@ -80,10 +83,6 @@ def sample_frame_paths(video_dir: str, fps: Optional[float],
             out.append(paths[a])
             out.append(paths[b])
         return out
-    if "rvs_movie" in dataset:
-        n = min(T, max_frames // 2)
-        idx = np.linspace(0, T - 1, max(n, 1)).round().astype(int)
-        return [p for i in idx for p in (paths[i], paths[i])]
     idx = np.linspace(0, T - 1, max_frames).round().astype(int)
     return [paths[i] for i in idx]
 

@@ -24,8 +24,6 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-_JPEG_CODECS = (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mp4v", b"avc1", b"hvc1",
-                b"hev1")
 _JPEG_SOI = b"\xff\xd8"
 
 
@@ -131,10 +129,11 @@ def _parse_stbl(buf, stbl_s, stbl_e) -> Optional[Tuple]:
     return sizes, offsets, codec
 
 
-def parse_mp4(path: str) -> Mp4Track:
+def parse_mp4(path: str, data: Optional[bytes] = None) -> Mp4Track:
     """Parse the first video track's sample table."""
-    with open(path, "rb") as f:
-        data = f.read()
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
     buf = memoryview(data)
     moov = _find(buf, 0, len(data), b"moov")
     if moov is None:
@@ -175,9 +174,9 @@ def demux_mjpeg(path: str) -> Tuple[List[bytes], float]:
     Returns (jpeg_blobs, fps). Raises ValueError when the track's samples
     are not JPEG (e.g. H.264) — callers fall back to extract-frames-first.
     """
-    track = parse_mp4(path)
     with open(path, "rb") as f:
         data = f.read()
+    track = parse_mp4(path, data)
     blobs = []
     for off, size in zip(track.sample_offsets, track.sample_sizes):
         blob = data[off:off + size]

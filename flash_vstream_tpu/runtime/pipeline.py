@@ -25,7 +25,9 @@ from ..preprocess.image import (clip_device_preprocess, clip_preprocess,
                                 clip_resize_u8)
 from ..preprocess.prompts import conv_templates
 from ..preprocess.qwen_processor import build_video_prompt
-from ..preprocess.tokenizer import ByteTokenizer, tokenizer_image_token
+from ..preprocess.tokenizer import (ByteTokenizer,
+                                    KeywordsStoppingCriteria,
+                                    tokenizer_image_token)
 from .generation import GenerationConfig, Generator, trim_stop_strings
 
 
@@ -88,7 +90,10 @@ class LLaVAPipeline:
         positions = jnp.arange(embeds.shape[1])[None]
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
-        out_ids = self.generator.generate(embeds, positions, gen)
+        out_ids = self.generator.generate(
+            embeds, positions, gen,
+            stopping=KeywordsStoppingCriteria([conv.stop_str],
+                                              self.tokenizer))
         text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
         return trim_stop_strings(
             text, tuple(gen.stop_strings) or (conv.stop_str,))
@@ -113,7 +118,12 @@ class LLaVAPipeline:
             self.params, self.cfg, input_ids, memory, T)
         gen = gen or GenerationConfig(
             max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
-        out_ids = self.generator.generate(embeds, positions, gen)
+        # sampling decodes (reference eval temperature=0.002) stop on the
+        # conversation separator mid-stream, not just at trim time
+        out_ids = self.generator.generate(
+            embeds, positions, gen,
+            stopping=KeywordsStoppingCriteria([conv.stop_str],
+                                              self.tokenizer))
         text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
         return trim_stop_strings(
             text, tuple(gen.stop_strings) or (conv.stop_str,))

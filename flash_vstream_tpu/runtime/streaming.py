@@ -57,6 +57,26 @@ from .generation import GenerationConfig, Generator, trim_stop_strings
 from .metrics import MetricMeter, Timer
 
 
+def bucket_up(real: int, cap: int) -> int:
+    """Round a memory length up to one of the shape buckets of `cap`.
+
+    Pre-saturation every ingest grows the memory, and an exact-size prompt
+    would compile a FRESH assemble+prefill+decode program per answer
+    (30-60 s each cold) — measured as missed ingest deadlines early in a
+    live stream. Bucketing bounds the shape set; padded memory slots are
+    masked out via segment ids. cli_server's prewarm derives its coverage
+    from bucket_candidates, so keep the two in sync by construction."""
+    for b in bucket_candidates(cap):
+        if real <= b:
+            return b
+    return cap
+
+
+def bucket_candidates(cap: int):
+    """The bucket boundaries bucket_up can return for a given capacity."""
+    return (max(cap // 4, 1), max(cap // 2, 1), cap)
+
+
 class LLaVAStreamSession:
     """Streaming LLaVA-generation session (config #3 of BASELINE.json)."""
 
@@ -143,18 +163,13 @@ class LLaVAStreamSession:
         return self._published[1]
 
     def _bucket_n_mem(self, n_mem_real: int) -> int:
-        """Round the memory token count up to ~3 buckets of its saturated
-        size: pre-saturation every new frame changes n_mem, and an
-        exact-size prompt would compile per answer (see
-        QwenStreamSession._bucket_t). Padded slots (pack_memory_tokens
+        """Round the memory token count up to the shape buckets of its
+        saturated size (see bucket_up). Padded slots (pack_memory_tokens
         emits invalid/zero rows past the real count) get segment -1."""
         from ..models.vstream_llava import star_valid_counts
         sat = sum(star_valid_counts(
             self.cfg, self.cfg.star.video_max_frames, streaming=True))
-        for b in (max(sat // 4, 1), max(sat // 2, 1), sat):
-            if n_mem_real <= b:
-                return b
-        return sat
+        return bucket_up(n_mem_real, sat)
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
@@ -356,17 +371,7 @@ class QwenStreamSession:
 
     @staticmethod
     def _bucket_t(real: int, cap: int) -> int:
-        """Round a memory length up to one of ~3 buckets (cap/4, cap/2, cap).
-
-        Pre-saturation every ingest grows t_dam/t_csm, and an exact-size
-        prompt would compile a FRESH assemble+prefill+decode program per
-        answer (30-60 s each cold) — measured as missed ingest deadlines
-        early in a live stream. Bucketing bounds the shape set; padded
-        memory slots are masked out via segment ids."""
-        for b in (max(cap // 4, 1), max(cap // 2, 1), cap):
-            if real <= b:
-                return b
-        return cap
+        return bucket_up(real, cap)
 
     def _prompt_parts(self, question: str, snapshot, n_frames: int):
         """(embeds, positions, decode_start, seg_row, last_real_idx) for one

@@ -96,10 +96,10 @@ def prewarm_session(session, args, gen, logger):
     snapshot, _ = session._published
     q = args.question or "What is happening?"
     if hasattr(session, "_prompt_parts"):          # Qwen family
+        from ..runtime.streaming import bucket_candidates
         fm = session.cfg.flash_memory
-        ns = sorted({max(fm.dam_grid_len // 4, 1), max(fm.dam_grid_len // 2, 1),
-                     fm.dam_grid_len, max(fm.csm_grid_len // 4, 1),
-                     max(fm.csm_grid_len // 2, 1), fm.csm_grid_len})
+        ns = sorted(set(bucket_candidates(fm.dam_grid_len))
+                    | set(bucket_candidates(fm.csm_grid_len)))
         seen = set()
         for n in ns:
             key = (session._bucket_t(min(n, fm.dam_grid_len), fm.dam_grid_len),

@@ -279,9 +279,20 @@ def run_training(args) -> dict:
     # parallel: bs 1/GPU x ga 8 x 8 GPUs, scripts/train_and_eval.sh:55-59)
     B = args.batch_size * mesh.shape["dp"]
     # deterministic schedule: each step draws from one resolution bucket,
-    # buckets interleaved proportionally to their size
+    # buckets interleaved proportionally to their size (largest-remainder
+    # pick, so a 9:1 dataset trains its buckets 9:1, matching the
+    # reference's uniform-over-dataset sampling)
     cursors = {hw: 0 for hw in order}
-    schedule = [order[s % len(order)] for s in range(total_steps)]
+    sizes = {hw: len(buckets[hw]) for hw in order}
+    total_items = sum(sizes.values())
+    credit = {hw: 0.0 for hw in order}
+    schedule = []
+    for _ in range(total_steps):
+        for hw in order:
+            credit[hw] += sizes[hw] / total_items
+        pick = max(order, key=lambda h: credit[h])
+        credit[pick] -= 1.0
+        schedule.append(pick)
     # resume: replay the consumed prefix so data order is checkpoint-stable
     for s in range(start_step):
         cursors[schedule[s]] += args.grad_accum * B
