@@ -116,9 +116,11 @@ def test_frame_sampling_modes(tmp_path):
         (plain / f"frame_{t:06d}.jpg").write_bytes(b"x")
     out = sample_frame_paths(str(plain), None, 8)
     assert len(out) == 8 and out == sorted(out)
-    # fps subsample
+    # fps subsample — UNCAPPED: the reference ignores max_frames in fps
+    # mode (inference_mcq_vqa.py:284-289)
     out = sample_frame_paths(str(plain), 0.5, None)
     assert len(out) == 20
+    assert len(sample_frame_paths(str(plain), 0.5, 8)) == 20
     # tight pairs from an fps4 dir: consecutive (i, i+1) frames
     out = sample_frame_paths(d, None, 8)
     assert len(out) == 8
