@@ -79,6 +79,10 @@ def main():
                     help="KV capacity; 0 = tight bucket (prefill+decode "
                          "rounded up to 128)")
     ap.add_argument("--cache-dtype", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--arch", choices=["vicuna7b", "qwen7b"],
+                    default="vicuna7b",
+                    help="vicuna7b = LLaVA-family 7B (32 KV heads); "
+                         "qwen7b = Qwen2-VL-7B (GQA 28/4, M-RoPE)")
     args = ap.parse_args()
 
     import jax
@@ -90,10 +94,17 @@ def main():
 
     enable_compilation_cache()
 
-    # Vicuna-7B shape (LLaVA-generation flagship LLM)
-    cfg = LLMConfig(vocab_size=32000, hidden_size=4096,
-                    intermediate_size=11008, num_layers=32, num_heads=32,
-                    num_kv_heads=32)
+    if args.arch == "qwen7b":
+        # Qwen2-VL-7B shape (Qwen-generation flagship LLM)
+        cfg = LLMConfig(vocab_size=152064, hidden_size=3584,
+                        intermediate_size=18944, num_layers=28, num_heads=28,
+                        num_kv_heads=4, attention_bias=True, rope_theta=1e6,
+                        mrope_sections=(16, 24, 24))
+    else:
+        # Vicuna-7B shape (LLaVA-generation flagship LLM)
+        cfg = LLMConfig(vocab_size=32000, hidden_size=4096,
+                        intermediate_size=11008, num_layers=32, num_heads=32,
+                        num_kv_heads=32)
     params = build_int8_7b(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
     n_bytes = sum(x.size * x.dtype.itemsize
                   for x in jax.tree.leaves(params))
