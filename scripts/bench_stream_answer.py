@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--side", type=int, default=224)
     ap.add_argument("--clip", type=int, default=8)
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--arch", choices=["2b", "7b"], default="2b",
+                    help="7b = Qwen2-VL-7B decoder with weight-only int8")
     args = ap.parse_args()
 
     import dataclasses
@@ -43,15 +45,41 @@ def main():
 
     enable_compilation_cache()
 
+    if args.arch == "7b":
+        llm = LLMConfig(vocab_size=152064, hidden_size=3584,
+                        intermediate_size=18944, num_layers=28, num_heads=28,
+                        num_kv_heads=4, attention_bias=True, rope_theta=1e6,
+                        mrope_sections=(16, 24, 24))
+        merger_out = 3584
+    else:
+        llm = LLMConfig(vocab_size=151936, hidden_size=1536,
+                        intermediate_size=8960, num_layers=28, num_heads=12,
+                        num_kv_heads=2, attention_bias=True, rope_theta=1e6,
+                        mrope_sections=(16, 24, 24))
+        merger_out = 1536
     cfg = VStreamQwenConfig(
-        vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=1536),
-        llm=LLMConfig(vocab_size=151936, hidden_size=1536,
-                      intermediate_size=8960, num_layers=28, num_heads=12,
-                      num_kv_heads=2, attention_bias=True, rope_theta=1e6,
-                      mrope_sections=(16, 24, 24)),
+        vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=merger_out),
+        llm=llm,
         flash_memory=FlashMemoryConfig(),     # temporal 120 / spatial 60
     )
-    params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.arch == "7b":
+        # init the decoder DIRECTLY in int8 (a bf16 7B intermediate would
+        # not co-reside with its int8 copy in HBM); vision side in bf16
+        import dataclasses as _dc
+
+        from bench_answer_latency import build_int8_7b
+        tiny_llm = _dc.replace(llm, num_layers=2, hidden_size=256,
+                               intermediate_size=512, num_heads=4,
+                               num_kv_heads=2, vocab_size=512,
+                               mrope_sections=(8, 12, 12))
+        params = init_qwen_params(jax.random.PRNGKey(0),
+                                  cfg.replace(llm=tiny_llm),
+                                  dtype=jnp.bfloat16)
+        params["llm"] = build_int8_7b(llm, jax.random.PRNGKey(1),
+                                      jnp.bfloat16)
+    else:
+        params = init_qwen_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
     sess = QwenStreamSession(
         params, cfg, make_byte_qwen_tokenizer(),
         frame_hw=(args.side, args.side), clip_size=args.clip, bank_size=512,
@@ -79,7 +107,7 @@ def main():
     n_vis = (min(sess.n_frames, fm.dam_grid_len) * sess.p_full // 4
              + min(sess.n_frames, fm.csm_grid_len) * sess.p_small // 4)
     print(json.dumps({
-        "metric": "stream_answer_latency_2b",
+        "metric": f"stream_answer_latency_{args.arch}",
         "visual_tokens": int(n_vis), "decode_tokens": args.decode,
         "kv_dtype": "int8" if args.kv_int8 else "bf16",
         "p50_s": round(p50, 4),
