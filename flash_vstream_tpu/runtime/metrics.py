@@ -12,6 +12,31 @@ import threading
 import time
 from typing import Dict, Optional
 
+# v5e per-chip roofline, for sanity-checking published numbers in the benches
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def force_completion(tree) -> float:
+    """Reliable device-completion fence for timing.
+
+    Through remote-dispatch runtimes (this host's axon tunnel),
+    ``jax.block_until_ready`` can return before the device finishes (verified:
+    a scalar fetch issued right after a "ready" result took a further 64 s),
+    so any timing that does not fetch a result to the host measures dispatch
+    rate, not compute. This dispatches ONE reduction that reads one element of
+    every array leaf and fetches the scalar to the host — the fetch cannot
+    return before every computation those leaves depend on has completed.
+    """
+    import jax
+    import jax.numpy as jnp
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype") and getattr(l, "size", 0)]
+    if not leaves:
+        return 0.0
+    s = sum(jnp.ravel(l)[0].astype(jnp.float32) for l in leaves)
+    return float(jax.device_get(s))
+
 
 class AverageMeter:
     """Thread-safe: with --threaded-ingest the same meter is fed from the

@@ -54,7 +54,7 @@ from ..preprocess.qwen_processor import build_video_prompt
 from ..preprocess.tokenizer import tokenizer_image_token
 from ..preprocess.prompts import conv_templates
 from .generation import GenerationConfig, Generator, trim_stop_strings
-from .metrics import MetricMeter, Timer
+from .metrics import MetricMeter, Timer, force_completion
 
 
 def bucket_up(real: int, cap: int) -> int:
@@ -148,7 +148,9 @@ class LLaVAStreamSession:
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
-        jax.block_until_ready(self.state.long)
+        # force_completion, not block_until_ready: the latter returns before
+        # the device finishes through remote-dispatch tunnels (VERDICT r2)
+        force_completion(self.state.long)
 
     def reset(self):
         """Fresh stream state (jits stay compiled) — used after prewarming."""
@@ -312,7 +314,9 @@ class QwenStreamSession:
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block_until_ingested(self):
-        jax.block_until_ready(self.state.tem_x)
+        # force_completion, not block_until_ready: the latter returns before
+        # the device finishes through remote-dispatch tunnels (VERDICT r2)
+        force_completion(self.state.tem_x)
 
     def reset(self):
         """Fresh stream state (jits stay compiled) — used after prewarming."""
@@ -495,7 +499,7 @@ class QwenMultiStreamEngine:
             self._n_frames[i] += int(n)
 
     def block(self):
-        jax.block_until_ready(self.states.tem_x)
+        force_completion(self.states.tem_x)
 
     def _one_state(self, i):
         return jax.tree.map(lambda x: x[i], self.states)
@@ -599,6 +603,11 @@ class ThreadedIngestor:
             self.session.ingest_frames(clip)
             i += len(clip)
             self.frames_ingested = i
+            # a deadline counts against DEVICE completion of this clip's
+            # published snapshot, not against dispatch: ingest_frames returns
+            # in ~2 ms while the device can fall arbitrarily behind, and
+            # block_until_ready is unreliable through the tunnel (VERDICT r2)
+            force_completion(self.session._published[0])
             now = time.perf_counter()
             if self.fps > 0:
                 if now > deadline + 1e-3:
@@ -671,7 +680,7 @@ class MultiStreamEngine:
         self.metrics.update("memory_latency_dispatch", time.perf_counter() - t0)
 
     def block(self):
-        jax.block_until_ready(self.states.long)
+        force_completion(self.states.long)
 
     def _prompt_embeds(self, stream_idx: int, question: str):
         state = jax.tree.map(lambda x: x[stream_idx], self.states)

@@ -122,11 +122,13 @@ def main():
     ).astype(jnp.bfloat16)
     positions = jnp.arange(S)[None]
 
+    from flash_vstream_tpu.runtime.metrics import force_completion
+
     # phase probes (separate from the e2e measurement)
     cache = gen.new_cache(1)
     t0 = time.perf_counter()
     logits, cache = gen._prefill(params, embeds, positions, cache, None, None)
-    jax.block_until_ready(logits)
+    force_completion(logits)   # host fetch; block_until_ready lies (VERDICT r2)
     compile_prefill = time.perf_counter() - t0
 
     def run_once():
@@ -145,7 +147,7 @@ def main():
         c = gen.new_cache(1)
         t0 = time.perf_counter()
         lg, c = gen._prefill(params, embeds, positions, c, None, None)
-        jax.block_until_ready(lg)
+        force_completion(lg)
         return time.perf_counter() - t0
     prefill_once()
     pf = sorted(prefill_once() for _ in range(args.iters))[args.iters // 2]

@@ -68,21 +68,59 @@ def main():
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=n)
         return jnp.sum(sums)
 
+    def time_tflops(fn, flops):
+        jfn = jax.jit(fn, static_argnums=(3,))
+        float(jfn(q0, k0, v0, 2))   # compile; fetch forces completion
+        t0 = time.perf_counter()
+        # timing sync is a HOST FETCH of the scan's scalar sum — through the
+        # tunnel block_until_ready returns before the device finishes
+        float(jfn(q0, k0, v0, args.iters))
+        dt = time.perf_counter() - t0
+        return round(flops * args.iters / dt / 1e12, 1)
+
     results = {}
     for name, fn, flops in (("fwd", fwd_many, flops_fwd),
                             ("fwd+bwd", fwdbwd_many, flops_fwd + flops_bwd)):
-        jfn = jax.jit(fn, static_argnums=(3,))
-        jfn(q0, k0, v0, 2).block_until_ready()   # compile
-        t0 = time.perf_counter()
-        jfn(q0, k0, v0, args.iters).block_until_ready()
-        dt = time.perf_counter() - t0
-        tflops = flops * args.iters / dt / 1e12
-        results[name] = round(tflops, 1)
+        results[name] = time_tflops(fn, flops)
+
+    # same shapes through the jax-shipped pallas kernel (MQA/GQA unsupported
+    # there, so compare on the Hkv == H case only)
+    ref = {}
+    if Hkv == H:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash_attention)
+
+        def ref_fwd_many(q0, k0, v0, n):
+            def body(i, _):
+                s = (1.0 + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
+                out = jax_flash_attention(q0 * s, k0, v0, causal=True)
+                return i + 1, jnp.sum(out.astype(jnp.float32))
+            _, sums = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return jnp.sum(sums)
+
+        def ref_fwdbwd_many(q0, k0, v0, n):
+            def loss(q, k, v):
+                return jnp.sum(jax_flash_attention(q, k, v, causal=True)
+                               .astype(jnp.float32))
+
+            def body(i, _):
+                s = (1.0 + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
+                g = jax.grad(loss, argnums=(0, 1, 2))(q0 * s, k0, v0)
+                return i + 1, sum(jnp.sum(x.astype(jnp.float32)) for x in g)
+            _, sums = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return jnp.sum(sums)
+
+        ref["fwd"] = time_tflops(ref_fwd_many, flops_fwd)
+        ref["fwd+bwd"] = time_tflops(ref_fwdbwd_many, flops_fwd + flops_bwd)
+
     print(json.dumps({
         "metric": "flash_attention_tflops",
         "shape": f"B{B} H{H}/{Hkv} S{S} D{D} bf16 causal",
         "fwd_tflops": results["fwd"],
         "fwd_bwd_tflops": results["fwd+bwd"],
+        "jax_ref_fwd_tflops": ref.get("fwd"),
+        "jax_ref_fwd_bwd_tflops": ref.get("fwd+bwd"),
+        "method": "scan-in-jit, host scalar fetch",
     }))
 
 
