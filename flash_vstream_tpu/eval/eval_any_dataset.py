@@ -31,7 +31,14 @@ DATASETS = [
     {"type": "oe", "dataset_name": "rvs_movie", "frame_dir": "vstream-realtime/movienet_frames", "data_file": "vstream-realtime/test_qa_movienet.json"},
     {"type": "oe", "dataset_name": "actnet", "frame_dir": "ActivityNet-QA/test_frames", "data_file": "ActivityNet-QA/test_qa.json"},
     {"type": "oe", "dataset_name": "nextoe", "frame_dir": "nextoe/nextoe_frames", "data_file": "nextoe/test_qa.json"},
-    {"type": "oe", "dataset_name": "videochatgpt", "frame_dir": "VideoChatGPTBench/video_10000frames_high_fps1", "data_file": "VideoChatGPTBench/test_generic_qa.json"},
+    # three splits, evaluated together like the reference
+    # (eval_any_dataset.py:117-121): generic+temporal+consistency inference,
+    # then the five VideoChatGPT judge dimensions over them
+    {"type": "oe", "dataset_name": "videochatgpt", "frame_dir": "VideoChatGPTBench/video_10000frames_high_fps1",
+     "data_file": ["VideoChatGPTBench/test_generic_qa.json",
+                   "VideoChatGPTBench/test_temporal_qa.json",
+                   "VideoChatGPTBench/test_consistency_qa.json"],
+     "splits": ["generic", "temporal", "consistency"]},
 ]
 
 
@@ -41,7 +48,11 @@ def get_dataset_info(dataset: str, data_root: str,
         if d["dataset_name"] == dataset:
             out = dict(d)
             out["frame_dir"] = os.path.join(data_root, d["frame_dir"])
-            out["data_file"] = os.path.join(data_root, d["data_file"])
+            if isinstance(d["data_file"], list):
+                out["data_file"] = [os.path.join(data_root, f)
+                                    for f in d["data_file"]]
+            else:
+                out["data_file"] = os.path.join(data_root, d["data_file"])
             if use_high_fps:
                 out["frame_dir"] = out["frame_dir"].replace("frames",
                                                             "frames_fps4")
@@ -49,16 +60,18 @@ def get_dataset_info(dataset: str, data_root: str,
     return None
 
 
-def launch_workers(args, info: dict) -> List[str]:
+def launch_workers(args, info: dict, data_file: Optional[str] = None,
+                   output_dir: Optional[str] = None) -> List[str]:
     """Run inference over all chunks. num_chunks == 1 runs in-process; more
     chunks spawn subprocesses (multi-host / resumable sharding)."""
     from . import inference_mcq_vqa as worker
 
+    output_dir = output_dir or args.output_dir
     common = [
         "--dataset", args.dataset,
         "--video-dir", info["frame_dir"],
-        "--data-file", info["data_file"],
-        "--output-dir", args.output_dir,
+        "--data-file", data_file or info["data_file"],
+        "--output-dir", output_dir,
         "--num-chunks", str(args.num_chunks),
         "--max-frames", str(args.max_frames),
         "--max-pixels", str(args.max_pixels),
@@ -94,7 +107,7 @@ def launch_workers(args, info: dict) -> List[str]:
                    "flash_vstream_tpu.eval.inference_mcq_vqa",
                    *common, "--chunk-idx", str(i)]
             procs.append(subprocess.Popen(cmd))
-            files.append(os.path.join(args.output_dir,
+            files.append(os.path.join(output_dir,
                                       f"{args.num_chunks}_{i}.json"))
         for p in procs:
             ret = p.wait()
@@ -131,12 +144,33 @@ def main(argv=None):
                          f"{[d['dataset_name'] for d in DATASETS]}")
     os.makedirs(args.output_dir, exist_ok=True)
 
+    multi_split = isinstance(info["data_file"], list)
     if not args.skip_inference:
-        launch_workers(args, info)
+        if multi_split:
+            # one inference pass per split, each into its own subdir
+            # (reference eval_any_dataset.py:44-50: output_base + split)
+            for split, data_file in zip(info["splits"], info["data_file"]):
+                launch_workers(args, info, data_file=data_file,
+                               output_dir=os.path.join(args.output_dir,
+                                                       split))
+        else:
+            launch_workers(args, info)
 
     if info["type"] == "mc":
         calc_mcq_result(args.output_dir, args.num_chunks, info["data_file"],
                         dataset_name=args.dataset)
+    elif multi_split:
+        from .gpt_judge import judge_videochatgpt
+        from .scoring import load_predictions
+        preds_by_split = {
+            split: load_predictions(os.path.join(args.output_dir, split),
+                                    args.num_chunks)
+            for split in info["splits"]}
+        summary = judge_videochatgpt(preds_by_split, args.output_dir,
+                                     model=args.judge_model)
+        print(json.dumps(summary, indent=2))
+        with open(os.path.join(args.output_dir, "result.json"), "w") as f:
+            json.dump(summary, f, indent=2)
     else:
         from .gpt_judge import aggregate, judge_all
         from .scoring import load_predictions

@@ -74,8 +74,14 @@ def sample_frame_paths(video_dir: str, fps: Optional[float],
     if max_frames is None or T <= max_frames:
         return paths
     if "frames_fps4" in video_dir:
-        # tight pairs from a 4 fps dir: (i, i+1) half-second pairs
-        assert max_frames % 2 == 0, "max_frames must be even for fps4 dirs"
+        # tight pairs from a 4 fps dir: (i, i+1) half-second pairs.
+        # An odd --max-frames rounds DOWN to even (with a warning) rather
+        # than aborting the whole eval worker on an AssertionError.
+        if max_frames % 2:
+            even = max(max_frames - 1, 2)
+            print(f"[sample_frame_paths] fps4 dirs sample frame pairs; "
+                  f"rounding odd max_frames {max_frames} to {even}")
+            max_frames = even
         idx = np.linspace(0, T - 1, max_frames // 2).round().astype(int)
         out = []
         for i in idx:
@@ -93,9 +99,9 @@ def load_frames(paths: List[str]):
     return [np.asarray(Image.open(p).convert("RGB")) for p in paths]
 
 
-def build_question(sample: dict, dataset: str,
-                   subtitle: str = "") -> tuple:
-    q = sample.get("question") or sample.get("question1")
+def build_question(sample: dict, dataset: str, subtitle: str = "",
+                   q_base: Optional[str] = None) -> tuple:
+    q = q_base or sample.get("question") or sample.get("question1")
     if dataset in OE_DATASETS:
         return OE_PROMPT + q, False
     if "videommesub" in dataset and subtitle:
@@ -148,14 +154,25 @@ def run_inference(args, pipeline=None) -> str:
                             .split(".")[0].isdigit()]
                     subtitle = get_subtitle(args.subtitle_dir,
                                             sample["video_id"], idxs)
-                question, is_mcq = build_question(sample, args.dataset,
-                                                  subtitle)
+                # consistency-style samples carry TWO paraphrased questions
+                # sharing one answer; both are asked over the same frames and
+                # recorded as pred1/pred2 (reference
+                # inference_mcq_vqa.py:213-216,374-381)
+                q_bases = ([sample["question"]] if "question" in sample
+                           else [sample["question1"], sample["question2"]])
                 frames = load_frames(paths)
-                if is_mcq:
-                    question = question + "\nBest option: ("
-                pred = pipeline.answer(frames, question, gen=gen)
+                preds = []
+                for q_base in q_bases:
+                    question, is_mcq = build_question(
+                        sample, args.dataset, subtitle, q_base=q_base)
+                    if is_mcq:
+                        question = question + "\nBest option: ("
+                    preds.append(pipeline.answer(frames, question, gen=gen))
                 record = dict(sample)
-                record["pred"] = pred
+                if "question" in sample:
+                    record["pred"] = preds[0]
+                else:
+                    record["pred1"], record["pred2"] = preds
                 ans_file.write(json.dumps(record) + "\n")
                 ans_file.flush()
             except Exception as e:

@@ -116,3 +116,20 @@ class KeywordsStoppingCriteria:
         text = self.tokenizer.decode(output_ids[self.prompt_len:],
                                      skip_special_tokens=True)
         return any(k in text for k in self.keywords)
+
+    def single_token_ids(self) -> tuple:
+        """Keywords that encode to exactly one token, as token ids.
+
+        The fully-compiled greedy decode loop cannot run host-side substring
+        checks mid-loop; single-token separator keywords (the common case:
+        '</s>', '<|im_end|>') are instead folded into its EOS set so decode
+        stops at the keyword instead of running to max_new_tokens."""
+        ids = []
+        for k in self.keywords:
+            if hasattr(self.tokenizer, "special_id"):      # ByteTokenizer
+                toks = self.tokenizer.encode(k, add_bos=False)
+            else:
+                toks = self.tokenizer.encode(k, add_special_tokens=False)
+            if len(toks) == 1:
+                ids.append(int(toks[0]))
+        return tuple(ids)

@@ -109,6 +109,25 @@ def probe_video_hw(path: str) -> tuple:
     return tuple(np.asarray(frame).shape[:2])
 
 
+def probe_video_len(path: str) -> int:
+    """Frame count of a video without decoding pixels (frame dirs count
+    files; mp4 reads the sample table; else decode)."""
+    if os.path.isdir(path):
+        return sum(1 for n in os.listdir(path)
+                   if n.lower().endswith((".jpg", ".jpeg", ".png")))
+    if os.path.splitext(path)[1].lower().lstrip(".") in ("mp4", "mov",
+                                                         "m4v"):
+        sibling = os.path.splitext(path)[0]
+        if os.path.isdir(sibling):
+            return probe_video_len(sibling)
+        try:
+            from .mp4 import parse_mp4
+            return parse_mp4(path).n_samples
+        except Exception:
+            pass
+    return len(load_video(path))
+
+
 def load_video(path: str, fps: float = 1.0,
                max_frames: Optional[int] = None) -> FrameSource:
     """Load frames from a video file or frame directory.
@@ -117,8 +136,10 @@ def load_video(path: str, fps: float = 1.0,
     1. a registered decoder for the extension (register_video_decoder),
     2. a sibling frame directory (path minus extension) — the documented
        extract-frames-first flow (scripts/extract_frames.py),
-    3. the built-in pure-python MJPEG-in-mp4 demuxer (preprocess/mp4.py).
-    H.264 content without extracted frames raises with instructions.
+    3. the built-in pure-python MJPEG-in-mp4 demuxer (preprocess/mp4.py),
+    4. auto-extraction to the sibling dir via an `ffmpeg` binary on PATH
+       (one-command H.264 flow; cached for later loads).
+    H.264 content with none of the above raises with instructions.
     """
     if os.path.isdir(path):
         return load_frame_dir(path, fps=fps, max_frames=max_frames)
@@ -134,9 +155,48 @@ def load_video(path: str, fps: float = 1.0,
         if os.path.isdir(sibling):
             return load_frame_dir(sibling, fps=fps, max_frames=max_frames)
         from .mp4 import decode_mjpeg
-        frames = decode_mjpeg(path, fps=fps, max_frames=max_frames)
+        try:
+            frames = decode_mjpeg(path, fps=fps, max_frames=max_frames)
+        except ValueError as demux_err:
+            # non-JPEG codec (H.264/H.265): one-command flow — auto-extract
+            # to the sibling frame dir with ffmpeg when available (the
+            # reference decodes any mp4 in-process via decord,
+            # cli_video_stream.py:143-146; this host has no codec library,
+            # so the extractor binary is the equivalent), else raise with
+            # the manual extract-frames-first instructions
+            # extract at the canonical 1 fps (the sibling-dir convention,
+            # scripts/extract_frames.py) so the cache serves any later fps
+            if _extract_frames_ffmpeg(path, sibling, fps=1.0):
+                return load_frame_dir(sibling, fps=fps,
+                                      max_frames=max_frames)
+            raise RuntimeError(
+                f"{path}: not MJPEG and no ffmpeg on PATH to auto-extract. "
+                f"Pre-extract frames to '{sibling}/' "
+                f"(scripts/extract_frames.py) or register_video_decoder()."
+            ) from demux_err
         return FrameSource(frames, fps)
     raise RuntimeError(
         f"No decoder registered for .{ext}. This image has no FFmpeg/decord; "
         "pre-extract frames to a directory (scripts/extract_frames.py "
         "equivalent) or register_video_decoder().")
+
+
+def _extract_frames_ffmpeg(path: str, out_dir: str,
+                           fps: float = 1.0) -> bool:
+    """Extract frames with the ffmpeg binary, if present. The frames land in
+    the sibling dir load_video already auto-detects, so the extraction is
+    cached for every later load of the same file."""
+    import shutil
+    import subprocess
+    if not shutil.which("ffmpeg"):
+        return False
+    tmp = out_dir + ".extracting"
+    os.makedirs(tmp, exist_ok=True)
+    cmd = ["ffmpeg", "-nostdin", "-loglevel", "error", "-i", path,
+           "-vf", f"fps={fps}", "-q:v", "2",
+           os.path.join(tmp, "%06d.jpg")]
+    if subprocess.run(cmd).returncode != 0 or not os.listdir(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    os.replace(tmp, out_dir)   # atomic publish: readers never see partials
+    return True

@@ -192,7 +192,7 @@ class Generator:
         stream: bool = False,                # stepwise decode (text streaming)
         segment_ids: Optional[jnp.ndarray] = None,  # [B, S]; -1 = padding
         last_real_idx=None,                  # logits position (right-padded)
-        stopping=None,   # KeywordsStoppingCriteria (stepwise path only)
+        stopping=None,   # KeywordsStoppingCriteria (see below)
     ) -> List[int]:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
@@ -207,25 +207,40 @@ class Generator:
             decode_pos_start = S
 
         if (gen.temperature <= 0.0 or gen.top_k == 1) and not stream:
-            # fully compiled greedy loop: one dispatch for the whole answer
+            # fully compiled greedy loop: one dispatch for the whole answer.
+            # Single-token stop KEYWORDS fold into the EOS set (the loop
+            # cannot run host-side substring checks); multi-token keywords
+            # only apply on the stepwise path, with trim_stop_strings as the
+            # text-level backstop either way.
+            stop_ids = set(gen.eos_token_ids)
+            if stopping is not None:
+                stop_ids |= set(stopping.single_token_ids())
             first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            eos = jnp.asarray(list(gen.eos_token_ids), jnp.int32)
+            eos = jnp.asarray(sorted(stop_ids), jnp.int32)
             out, n, _ = self._decode_loop(self.params, first,
                                           jnp.int32(decode_pos_start), cache,
                                           gen.max_new_tokens, eos)
             toks = np.asarray(out[0, :int(n)]).tolist()
-            # trim everything after the first EOS (inclusive)
+            # trim everything after the first stop id (inclusive)
             for j, t in enumerate(toks):
-                if t in gen.eos_token_ids:
+                if t in stop_ids:
                     return toks[:j + 1]
             return toks
 
+        return list(self._stream_tokens(logits, cache, gen,
+                                        decode_pos_start, stopping))
+
+    def _stream_tokens(self, logits, cache, gen: GenerationConfig,
+                       decode_pos_start: int, stopping=None):
+        """Stepwise decode from a completed prefill, yielding one token id at
+        a time (the TextStreamer analog, cli_video_stream.py:292-309)."""
         key = jax.random.PRNGKey(gen.seed)
         out: List[int] = []
         tok = _sample(logits, gen, key)
         for i in range(gen.max_new_tokens):
             t = int(tok[0])
             out.append(t)
+            yield t
             if t in gen.eos_token_ids:
                 break
             if stopping is not None and stopping.should_stop(out):
@@ -234,4 +249,19 @@ class Generator:
             logits, cache = self._step(self.params, tok,
                                        jnp.int32(decode_pos_start + i), cache)
             tok = _sample(logits, gen, sub)
-        return out
+
+    def generate_stream(self, embeds, positions, gen: GenerationConfig,
+                        decode_pos_start: Optional[int] = None,
+                        segment_ids=None, last_real_idx=None, stopping=None):
+        """Incremental decode: yields generated token ids as they are
+        produced (one jitted step per token). Used by --stream-output serving
+        to print tokens live instead of waiting for the full answer."""
+        B, S, _ = embeds.shape
+        assert B == 1, "generation currently supports batch=1 per stream"
+        cache = self.new_cache(B, self._active_len(S, gen.max_new_tokens))
+        logits, cache = self._prefill(self.params, embeds, positions, cache,
+                                      segment_ids, last_real_idx)
+        if decode_pos_start is None:
+            decode_pos_start = S
+        yield from self._stream_tokens(logits, cache, gen, decode_pos_start,
+                                       stopping)

@@ -77,6 +77,37 @@ def bucket_candidates(cap: int):
     return (max(cap // 4, 1), max(cap // 2, 1), cap)
 
 
+def _stream_text(generator, tokenizer, embeds, positions, gen,
+                 decode_start, segment_ids, last_real, stop_strings):
+    """Shared incremental-decode driver: runs the generator's stepwise path
+    and yields TEXT DELTAS (re-decoding the full output each step so
+    multi-byte/multi-token characters emit only once complete). Stops at the
+    first stop string, trimming it from the stream."""
+    toks: List[int] = []
+    emitted = ""
+    for t in generator.generate_stream(
+            embeds, positions, gen, decode_pos_start=decode_start,
+            segment_ids=segment_ids, last_real_idx=last_real):
+        toks.append(t)
+        if t in gen.eos_token_ids:
+            break
+        text = tokenizer.decode(toks, skip_special_tokens=True)
+        trimmed = trim_stop_strings(text, stop_strings)
+        if trimmed != text.strip():       # a stop string appeared
+            if len(trimmed) > len(emitted):
+                yield trimmed[len(emitted):]
+            return
+        # hold back a partial trailing replacement char (incomplete utf-8)
+        safe = text[:-1] if text.endswith("�") else text
+        if len(safe) > len(emitted):
+            yield safe[len(emitted):]
+            emitted = safe
+    text = trim_stop_strings(
+        tokenizer.decode(toks, skip_special_tokens=True), stop_strings)
+    if len(text) > len(emitted):
+        yield text[len(emitted):]
+
+
 class LLaVAStreamSession:
     """Streaming LLaVA-generation session (config #3 of BASELINE.json)."""
 
@@ -173,9 +204,48 @@ class LLaVAStreamSession:
             self.cfg, self.cfg.star.video_max_frames, streaming=True))
         return bucket_up(n_mem_real, sat)
 
+    def _prompt_parts(self, question: str, memory, n_frames: int):
+        """(embeds, positions, decode_start, seg_row, last_real_idx,
+        stop_str) for one published memory snapshot."""
+        from ..models.vstream_llava import star_valid_counts
+        n_mem_real = sum(star_valid_counts(self.cfg, n_frames,
+                                           streaming=True))
+        n_mem = self._bucket_n_mem(n_mem_real)
+        conv = conv_templates[self.conv_template].copy()
+        conv.append_message(conv.roles[0], "<image>\n" + question)
+        conv.append_message(conv.roles[1], None)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        (img_pos,) = np.where(input_ids == -200)
+        p = int(img_pos[0])
+        pre, post = input_ids[:p], input_ids[p + 1:]
+        # bucket the question length to bound recompiles
+        q_real = len(post)
+        qb = -(-q_real // 32) * 32
+        pad_id = self.tokenizer.pad_token_id or 0
+        post_p = np.pad(post, (0, qb - q_real), constant_values=pad_id)
+
+        embeds = self._assemble(self.params, memory.tokens,
+                                memory.valid, jnp.asarray(pre),
+                                jnp.asarray(post_p), n_mem)
+        S = embeds.shape[1]
+        # layout [pre | n_mem memory slots (n_mem_real valid) | post];
+        # padded slots: segment -1 (invisible), position 0 (unused);
+        # real post tokens keep positions continuing after REAL memory
+        positions = np.zeros(S, np.int64)
+        seg = np.full(S, -1, np.int32)
+        positions[:p] = np.arange(p)
+        seg[:p] = 0
+        positions[p:p + n_mem_real] = p + np.arange(n_mem_real)
+        seg[p:p + n_mem_real] = 0
+        post_pos0 = p + n_mem_real
+        positions[p + n_mem:p + n_mem + q_real] = \
+            post_pos0 + np.arange(q_real)
+        seg[p + n_mem:p + n_mem + q_real] = 0
+        return (embeds, jnp.asarray(positions)[None], post_pos0 + q_real,
+                seg, p + n_mem + q_real - 1, conv.stop_str)
+
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
-        from ..models.vstream_llava import star_valid_counts
         with Timer(self.metrics, "llm_latency"):
             with Timer(self.metrics, "llm_latency_memoryio"):
                 # one read of the published (snapshot, count) pair: the state
@@ -184,50 +254,34 @@ class LLaVAStreamSession:
                 # with an old snapshot
                 memory, n_frames = self._published
                 assert memory is not None, "no frames ingested yet"
-                n_mem_real = sum(star_valid_counts(self.cfg, n_frames,
-                                                   streaming=True))
-                n_mem = self._bucket_n_mem(n_mem_real)
-            conv = conv_templates[self.conv_template].copy()
-            conv.append_message(conv.roles[0], "<image>\n" + question)
-            conv.append_message(conv.roles[1], None)
-            input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
-            (img_pos,) = np.where(input_ids == -200)
-            p = int(img_pos[0])
-            pre, post = input_ids[:p], input_ids[p + 1:]
-            # bucket the question length to bound recompiles
-            q_real = len(post)
-            qb = -(-q_real // 32) * 32
-            pad_id = self.tokenizer.pad_token_id or 0
-            post_p = np.pad(post, (0, qb - q_real), constant_values=pad_id)
-
-            embeds = self._assemble(self.params, memory.tokens,
-                                    memory.valid, jnp.asarray(pre),
-                                    jnp.asarray(post_p), n_mem)
-            S = embeds.shape[1]
-            # layout [pre | n_mem memory slots (n_mem_real valid) | post];
-            # padded slots: segment -1 (invisible), position 0 (unused);
-            # real post tokens keep positions continuing after REAL memory
-            positions = np.zeros(S, np.int64)
-            seg = np.full(S, -1, np.int32)
-            positions[:p] = np.arange(p)
-            seg[:p] = 0
-            positions[p:p + n_mem_real] = p + np.arange(n_mem_real)
-            seg[p:p + n_mem_real] = 0
-            post_pos0 = p + n_mem_real
-            positions[p + n_mem:p + n_mem + q_real] = \
-                post_pos0 + np.arange(q_real)
-            seg[p + n_mem:p + n_mem + q_real] = 0
+            embeds, positions, decode_start, seg, last_real, stop_str = \
+                self._prompt_parts(question, memory, n_frames)
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
             out = self.generator.generate(
-                embeds, jnp.asarray(positions)[None], gen,
-                decode_pos_start=post_pos0 + q_real,
+                embeds, positions, gen, decode_pos_start=decode_start,
                 segment_ids=jnp.asarray(seg)[None],
-                last_real_idx=p + n_mem + q_real - 1)
+                last_real_idx=last_real)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         return trim_stop_strings(
-            text, tuple(gen.stop_strings) or (conv.stop_str,))
+            text, tuple(gen.stop_strings) or (stop_str,))
+
+    def answer_stream(self, question: str,
+                      gen: Optional[GenerationConfig] = None):
+        """Incremental answer: yields text deltas as tokens decode (the
+        reference's TextStreamer UX, cli_video_stream.py:292-309)."""
+        memory, n_frames = self._published
+        assert memory is not None, "no frames ingested yet"
+        embeds, positions, decode_start, seg, last_real, stop_str = \
+            self._prompt_parts(question, memory, n_frames)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128,
+            eos_token_ids=(self.tokenizer.eos_token_id,))
+        yield from _stream_text(
+            self.generator, self.tokenizer, embeds, positions, gen,
+            decode_start, jnp.asarray(seg)[None], last_real,
+            tuple(gen.stop_strings) or (stop_str,))
 
 
 class QwenStreamSession:
@@ -428,19 +482,43 @@ class QwenStreamSession:
                 # if an ingest thread publishes concurrently
                 snapshot, n_frames = self._published
                 assert snapshot is not None, "no frames ingested yet"
-            embeds, positions, decode_start, seg_row, last_real = \
-                self._prompt_parts(question, snapshot, n_frames)
-            gen = gen or GenerationConfig(
-                max_new_tokens=128,
-                eos_token_ids=(self.tokenizer.eos_token_id,))
-            out = self.generator.generate(
-                embeds, positions, gen, decode_pos_start=decode_start,
-                segment_ids=jnp.asarray(seg_row)[None],
-                last_real_idx=last_real)
+            return self.answer_snapshot(snapshot, n_frames, question, gen)
+
+    def answer_snapshot(self, snapshot, n_frames: int, question: str,
+                        gen: Optional[GenerationConfig] = None) -> str:
+        """Answer against an EXPLICIT (snapshot, count) pair without touching
+        session state — safe for concurrent callers holding different
+        snapshots (the multi-stream engine answers stream i while stream j's
+        question is in flight on another thread)."""
+        embeds, positions, decode_start, seg_row, last_real = \
+            self._prompt_parts(question, snapshot, n_frames)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128,
+            eos_token_ids=(self.tokenizer.eos_token_id,))
+        out = self.generator.generate(
+            embeds, positions, gen, decode_pos_start=decode_start,
+            segment_ids=jnp.asarray(seg_row)[None],
+            last_real_idx=last_real)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         # ChatML assistant turns terminate on <|im_end|>
         return trim_stop_strings(
             text, tuple(gen.stop_strings) or ("<|im_end|>",))
+
+    def answer_stream(self, question: str,
+                      gen: Optional[GenerationConfig] = None):
+        """Incremental answer: yields text deltas as tokens decode (the
+        reference's TextStreamer UX, cli_video_stream.py:292-309)."""
+        snapshot, n_frames = self._published
+        assert snapshot is not None, "no frames ingested yet"
+        embeds, positions, decode_start, seg_row, last_real = \
+            self._prompt_parts(question, snapshot, n_frames)
+        gen = gen or GenerationConfig(
+            max_new_tokens=128,
+            eos_token_ids=(self.tokenizer.eos_token_id,))
+        yield from _stream_text(
+            self.generator, self.tokenizer, embeds, positions, gen,
+            decode_start, jnp.asarray(seg_row)[None], last_real,
+            tuple(gen.stop_strings) or ("<|im_end|>",))
 
 
 class QwenMultiStreamEngine:
@@ -501,17 +579,15 @@ class QwenMultiStreamEngine:
     def block(self):
         force_completion(self.states.tem_x)
 
-    def _one_state(self, i):
-        return jax.tree.map(lambda x: x[i], self.states)
-
     def answer(self, stream_idx: int, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
-        sess = self.sess
-        sess.state = self._one_state(stream_idx)
-        sess._published = (
-            jax.tree.map(lambda x: x[stream_idx], self._snapshots),
-            self._n_frames[stream_idx])
-        return sess.answer(question, gen)
+        # explicit-snapshot path: never mutates the shared session, so a
+        # second thread answering stream j mid-call cannot corrupt stream
+        # i's state/published pair
+        snapshot = jax.tree.map(lambda x: x[stream_idx], self._snapshots)
+        return self.sess.answer_snapshot(snapshot,
+                                         self._n_frames[stream_idx],
+                                         question, gen)
 
     def answer_all(self, questions: Sequence[str],
                    gen: Optional[GenerationConfig] = None) -> List[str]:
@@ -533,9 +609,7 @@ class QwenMultiStreamEngine:
 
         per = []
         for i, q in enumerate(questions):
-            sess.state = self._one_state(i)
             snapshot = jax.tree.map(lambda x: x[i], self._snapshots)
-            sess._published = (snapshot, self._n_frames[i])
             per.append(sess._prompt_parts(q, snapshot, self._n_frames[i]))
         S = max(e.shape[1] for e, *_ in per)
         B = self.n_streams

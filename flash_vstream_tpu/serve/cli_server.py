@@ -95,7 +95,7 @@ def prewarm_session(session, args, gen, logger):
     session.block_until_ingested()
     snapshot, _ = session._published
     q = args.question or "What is happening?"
-    if hasattr(session, "_prompt_parts"):          # Qwen family
+    if hasattr(session.cfg, "flash_memory"):       # Qwen family
         from ..runtime.streaming import bucket_candidates
         fm = session.cfg.flash_memory
         ns = sorted(set(bucket_candidates(fm.dam_grid_len))
@@ -161,6 +161,19 @@ def run_server(args) -> dict:
     metrics = session.metrics
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            eos_token_ids=(session.tokenizer.eos_token_id,))
+
+    def do_answer(q: str) -> str:
+        """Full answer, or incremental printing with --stream-output (the
+        reference's TextStreamer, cli_video_stream.py:292-309)."""
+        if args.stream_output:
+            print(f"Q: {q}\nA: ", end="", flush=True)
+            pieces = []
+            for piece in session.answer_stream(q, gen):
+                print(piece, end="", flush=True)
+                pieces.append(piece)
+            print(flush=True)
+            return "".join(pieces)
+        return session.answer(q, gen)
     frame_interval = (1.0 / (args.fps * args.play_speed)
                       if args.play_speed > 0 else 0.0)
     next_q_time = args.question_interval
@@ -184,7 +197,7 @@ def run_server(args) -> dict:
                 q_idx += 1
                 next_q_time += args.question_interval
                 with Timer(metrics, "conv_latency"):
-                    ans = session.answer(q, gen)
+                    ans = do_answer(q)
                 logger.info(f"[t={elapsed:.1f}s frames="
                             f"{ing.frames_ingested}] Q: {q}\nA: {ans}")
                 answers.append({"t": elapsed, "frames": ing.frames_ingested,
@@ -218,7 +231,7 @@ def run_server(args) -> dict:
                 q_idx += 1
                 next_q_time += args.question_interval
                 with Timer(metrics, "conv_latency"):
-                    ans = session.answer(q, gen)
+                    ans = do_answer(q)
                 logger.info(f"[t={elapsed:.1f}s frames={i}] Q: {q}")
                 logger.info(f"A: {ans}")
                 answers.append({"t": elapsed, "frames": i, "question": q,
@@ -229,7 +242,7 @@ def run_server(args) -> dict:
     if questions:
         q = questions[q_idx % len(questions)]
         with Timer(metrics, "conv_latency"):
-            ans = session.answer(q, gen)
+            ans = do_answer(q)
         answers.append({"t": time.perf_counter() - start, "frames": i,
                         "question": q, "answer": ans})
 
@@ -270,6 +283,9 @@ def make_parser():
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves "
                         "decode's cache HBM reads)")
+    p.add_argument("--stream-output", action="store_true",
+                   help="print answer tokens incrementally as they decode "
+                        "(TextStreamer UX, cli_video_stream.py:292-309)")
     p.add_argument("--threaded-ingest", action="store_true",
                    help="pace ingestion on a background thread so answers "
                         "never stall the stream")

@@ -199,6 +199,24 @@ class SupervisedVideoDataset:
         return out
 
 
+def proportional_schedule(sizes: Dict, total_steps: int) -> List:
+    """Deterministic largest-remainder interleaving: each step draws from one
+    group, groups picked proportionally to their size (a 9:1 dataset trains
+    its groups 9:1, matching the reference's uniform-over-dataset sampling
+    in HF Trainer). Keys keep their insertion order for tie-breaking."""
+    keys = list(sizes)
+    total = sum(sizes.values())
+    credit = {k: 0.0 for k in keys}
+    schedule = []
+    for _ in range(total_steps):
+        for k in keys:
+            credit[k] += sizes[k] / total
+        pick = max(keys, key=lambda k: credit[k])
+        credit[pick] -= 1.0
+        schedule.append(pick)
+    return schedule
+
+
 def length_grouped_indices(lengths: Sequence[int], batch_size: int,
                            world_size: int, seed: int = 0) -> List[int]:
     """Modality-grouped megabatch shuffling (vstream_trainer.py:56-114):

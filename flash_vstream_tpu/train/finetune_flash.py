@@ -21,17 +21,21 @@ import numpy as np
 from ..core.config import IGNORE_INDEX
 
 
-def build_synthetic_dataset(path: str, n_items: int = 8, n_frames: int = 6,
+def build_synthetic_dataset(path: str, n_items: int = 8, n_frames=6,
                             side: int = 56):
+    """n_frames: one fixed length, or a per-item list (mixed lengths
+    exercise the frame-count bucketing)."""
     os.makedirs(os.path.join(path, "frames"), exist_ok=True)
     from PIL import Image
     rng = np.random.default_rng(0)
     items = []
+    lens = (n_frames if isinstance(n_frames, (list, tuple))
+            else [n_frames] * n_items)
     for i in range(n_items):
         vid = f"v{i}"
         d = os.path.join(path, "frames", vid)
         os.makedirs(d, exist_ok=True)
-        for t in range(n_frames):
+        for t in range(lens[i % len(lens)]):
             Image.fromarray(rng.integers(0, 255, (side, side, 3),
                                          dtype=np.uint8)
                             ).save(os.path.join(d, f"{t:06d}.jpg"))
@@ -169,33 +173,51 @@ def run_training(args) -> dict:
                             rank=args.lora_rank, targets=QWEN_TARGETS)
     alpha, rank = args.lora_alpha, args.lora_rank
 
-    # variable grids -> RESOLUTION BUCKETS: items group by their
-    # smart-resize target; each bucket gets its own jitted train step
-    # (shared params/optimizer state), so mixed-resolution datasets train
-    # at their native aspect ratios (the reference resizes per sample,
-    # vision_process.py:44-70) instead of being forced to one resolution.
-    max_len = args.max_len
+    # variable grids -> (RESOLUTION x FRAME-COUNT) BUCKETS: items group by
+    # their smart-resize target AND a frame-count rung; each bucket gets its
+    # own jitted train step (shared params/optimizer state). Mixed-resolution
+    # datasets train at their native aspect ratios (the reference resizes per
+    # sample, vision_process.py:44-70), and short videos pad to the nearest
+    # rung instead of running max_frames (240) worth of ViT compute.
+    # The default max_len matches the reference's model_max_length
+    # (Qwen/scripts/train_and_eval.sh:52: 14000 — the default eval memory
+    # config at 448 px yields ~11.5k visual tokens, so anything shorter
+    # truncates the video block on real datasets).
+    max_len = args.max_len or (512 if args.dry_run else 14000)
     from ..preprocess.image import smart_resize, _resize_bilinear, _to_float_chw
-    from ..preprocess.video import probe_video_hw
+    from ..preprocess.video import probe_video_hw, probe_video_len
+
+    def frame_rung(n: int) -> int:
+        if args.frame_bucket:                  # explicit fixed bucket
+            return args.frame_bucket
+        for b in (args.max_frames // 8, args.max_frames // 4,
+                  args.max_frames // 2, args.max_frames):
+            b = max(b + b % 2, 2)              # temporal PAIRS need even
+            if n <= b:
+                return b
+        return args.max_frames
 
     def bucket_of(item):
-        h, w = probe_video_hw(os.path.join(args.video_dir, item["video"]))
-        return smart_resize(h, w, factor=56, max_pixels=args.max_pixels)
+        path = os.path.join(args.video_dir, item["video"])
+        h, w = probe_video_hw(path)
+        n = min(probe_video_len(path), args.max_frames)
+        return (smart_resize(h, w, factor=56, max_pixels=args.max_pixels),
+                frame_rung(n))
 
     buckets: dict = {}
     for item in items:
         buckets.setdefault(bucket_of(item), []).append(item)
-    logger.info(f"resolution buckets: "
-                f"{ {hw: len(v) for hw, v in buckets.items()} }")
+    logger.info(f"(resolution, frames) buckets: "
+                f"{ {bk: len(v) for bk, v in buckets.items()} }")
 
-    def prepare(item, train_hw):
+    def prepare(item, bk):
+        train_hw, target = bk
         src = load_video(os.path.join(args.video_dir, item["video"]),
-                         max_frames=args.max_frames)
+                         max_frames=target)
         frames = list(src)
-        # pad to a fixed frame count so every bucket shares one grid (one
-        # compiled step); short videos repeat their last frame, like the
-        # reference's FRAME_FACTOR padding (vision_process.py:118-222)
-        target = args.frame_bucket or args.max_frames
+        # pad to the bucket's fixed frame count so the bucket shares one
+        # grid (one compiled step); short videos repeat their last frame,
+        # like the reference's FRAME_FACTOR padding (vision_process.py:118-222)
         while len(frames) < target:
             frames.append(frames[-1])
         frames = [np.clip(_resize_bilinear(_to_float_chw(np.asarray(f)),
@@ -282,17 +304,10 @@ def run_training(args) -> dict:
     # buckets interleaved proportionally to their size (largest-remainder
     # pick, so a 9:1 dataset trains its buckets 9:1, matching the
     # reference's uniform-over-dataset sampling)
+    from .data import proportional_schedule
     cursors = {hw: 0 for hw in order}
-    sizes = {hw: len(buckets[hw]) for hw in order}
-    total_items = sum(sizes.values())
-    credit = {hw: 0.0 for hw in order}
-    schedule = []
-    for _ in range(total_steps):
-        for hw in order:
-            credit[hw] += sizes[hw] / total_items
-        pick = max(order, key=lambda h: credit[h])
-        credit[pick] -= 1.0
-        schedule.append(pick)
+    schedule = proportional_schedule(
+        {hw: len(buckets[hw]) for hw in order}, total_steps)
     # resume: replay the consumed prefix so data order is checkpoint-stable
     for s in range(start_step):
         cursors[schedule[s]] += args.grad_accum * B
@@ -318,16 +333,37 @@ def run_training(args) -> dict:
 
     # frame decode + patchify for the NEXT step overlaps device compute
     from ..utils.prefetch import BackgroundPrefetcher
+    from .reporting import ScalarsWriter, StepProfiler, lr_at
+    scalars = ScalarsWriter(args.scalars_file or
+                            os.path.join(args.output_dir, "scalars.jsonl"))
+    profiler = StepProfiler(args.profile_dir, start_step, args.profile_steps)
     prefetch = BackgroundPrefetcher(make_step_batch, start_step, total_steps)
-    for step, (hw, batch) in zip(range(start_step, total_steps), prefetch):
-        loss = trainer.run_step(batch, jax.random.PRNGKey(step),
-                                step_fn=step_fn_for(hw))
-        losses.append(loss)
-        logger.info(f"step {step + 1}/{total_steps} loss={loss:.4f} "
-                    f"bucket={hw} B={B}")
-        if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
-            save_checkpoint(args.output_dir, step + 1, trainer.params,
-                            trainer.opt_state)
+    try:
+        for step, (hw, batch) in zip(range(start_step, total_steps),
+                                     prefetch):
+            t0 = time.time()
+            profiler.before_step(step)
+            loss = trainer.run_step(batch, jax.random.PRNGKey(step),
+                                    step_fn=step_fn_for(hw))
+            profiler.after_step(step)
+            dt = time.time() - t0
+            losses.append(loss)
+            scalars.write(step + 1, loss=loss, lr=lr_at(tcfg, step),
+                          step_time_s=dt,
+                          bucket=f"{hw[0][0]}x{hw[0][1]}x{hw[1]}f",
+                          tokens_per_s=B * args.grad_accum * max_len
+                          / max(dt, 1e-9))
+            logger.info(f"step {step + 1}/{total_steps} loss={loss:.4f} "
+                        f"bucket={hw} B={B}")
+            if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
+                save_checkpoint(args.output_dir, step + 1, trainer.params,
+                                trainer.opt_state)
+    finally:
+        # unblock the producer thread if the loop exits early (an exception
+        # in run_step would otherwise leave it stuck on the bounded queue)
+        prefetch.close()
+        profiler.close()
+        scalars.close()
 
     if args.export_merged:
         from .checkpoint import export_safetensors
@@ -357,10 +393,23 @@ def make_parser():
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=240)
     p.add_argument("--frame-bucket", type=int, default=None,
-                   help="fixed frame count per sample (defaults to max-frames)")
+                   help="force ONE fixed frame count per sample; default: "
+                        "auto rungs max_frames/{8,4,2,1} so short videos "
+                        "skip most of the ViT padding compute")
     p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
-    p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--max-len", type=int, default=None,
+                   help="sequence length; default 14000 (reference "
+                        "model_max_length, train_and_eval.sh:52) or 512 "
+                        "under --dry-run")
     p.add_argument("--save-steps", type=int, default=100)
+    p.add_argument("--scalars-file", type=str, default=None,
+                   help="JSONL scalars stream (default: "
+                        "<output-dir>/scalars.jsonl)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler device trace here "
+                        "(TensorBoard-loadable)")
+    p.add_argument("--profile-steps", type=int, default=3,
+                   help="trace window length in steps (with --profile-dir)")
     p.add_argument("--flash-memory-dict", default=None)
     p.add_argument("--export-merged", action="store_true")
     p.add_argument("--dry-run", action="store_true")

@@ -107,7 +107,8 @@ def run_training(args) -> dict:
     from . import recipes
     from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
     from .data import (DataConfig, SupervisedVideoDataset, collate_llava,
-                       collate_text, length_grouped_indices, spliced_labels,
+                       collate_text, length_grouped_indices,
+                       proportional_schedule, spliced_labels,
                        spliced_segments)
     from .trainer import Trainer
 
@@ -289,7 +290,12 @@ def run_training(args) -> dict:
         return stacked, idx
 
     modalities = list(groups)
-    schedule = [modalities[s % len(modalities)] for s in range(total_steps)]
+    # steps interleave modalities proportionally to group size (largest-
+    # remainder pick): the reference's sampler draws uniformly over the
+    # dataset, so a 10k-video / 10-text dataset must NOT train text 1/3 of
+    # the time the way a round-robin would
+    schedule = proportional_schedule(
+        {m: len(groups[m]) for m in modalities}, total_steps)
     cursors = {m: 0 for m in modalities}
     for s in range(start_step):                   # checkpoint-stable resume
         cursors[schedule[s]] += bsz * args.grad_accum
@@ -304,17 +310,34 @@ def run_training(args) -> dict:
         return m, batch
 
     losses = []
+    from .reporting import ScalarsWriter, StepProfiler, lr_at
+    scalars = ScalarsWriter(args.scalars_file or
+                            os.path.join(args.output_dir, "scalars.jsonl"))
+    profiler = StepProfiler(args.profile_dir, start_step, args.profile_steps)
     prefetch = BackgroundPrefetcher(make_step_batch, start_step, total_steps)
-    for step, (m, batch) in zip(range(start_step, total_steps), prefetch):
-        t0 = time.time()
-        loss = trainer.run_step(batch, jax.random.PRNGKey(step),
-                                step_fn=step_fns[m])
-        losses.append(loss)
-        logger.info(f"step {step + 1}/{total_steps} [{m}] loss={loss:.4f} "
-                    f"({time.time() - t0:.2f}s)")
-        if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
-            save_checkpoint(args.output_dir, step + 1, trainer.params,
-                            trainer.opt_state)
+    try:
+        for step, (m, batch) in zip(range(start_step, total_steps), prefetch):
+            t0 = time.time()
+            profiler.before_step(step)
+            loss = trainer.run_step(batch, jax.random.PRNGKey(step),
+                                    step_fn=step_fns[m])
+            profiler.after_step(step)
+            dt = time.time() - t0
+            losses.append(loss)
+            scalars.write(step + 1, loss=loss, lr=lr_at(tcfg, step),
+                          step_time_s=dt, modality=m,
+                          samples_per_s=bsz * args.grad_accum / max(dt, 1e-9))
+            logger.info(f"step {step + 1}/{total_steps} [{m}] "
+                        f"loss={loss:.4f} ({dt:.2f}s)")
+            if (step + 1) % args.save_steps == 0 or step + 1 == total_steps:
+                save_checkpoint(args.output_dir, step + 1, trainer.params,
+                                trainer.opt_state)
+    finally:
+        # unblock the producer thread if the loop exits early (an exception
+        # in run_step would otherwise leave it stuck on the bounded queue)
+        prefetch.close()
+        profiler.close()
+        scalars.close()
 
     return {"final_loss": losses[-1] if losses else None,
             "losses": losses, "steps": total_steps}
@@ -344,6 +367,14 @@ def make_parser():
     p.add_argument("--text-len", type=int, default=512,
                    help="fixed sequence length for text-only batches")
     p.add_argument("--save-steps", type=int, default=100)
+    p.add_argument("--scalars-file", type=str, default=None,
+                   help="JSONL scalars stream (default: "
+                        "<output-dir>/scalars.jsonl)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler device trace here "
+                        "(TensorBoard-loadable)")
+    p.add_argument("--profile-steps", type=int, default=3,
+                   help="trace window length in steps (with --profile-dir)")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--synthetic-raw", action="store_true",

@@ -22,15 +22,29 @@ class BackgroundPrefetcher:
                  depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when close() is called: a consumer
+            # that stops iterating early (exception in the train loop) must
+            # not leave this thread blocked on a full queue forever
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for i in range(start, stop):
-                    self._q.put(make(i))
+                    if self._stop.is_set() or not put(make(i)):
+                        return
             except BaseException as e:     # noqa: BLE001 — re-raised below
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -45,10 +59,7 @@ class BackgroundPrefetcher:
             yield item
 
     def close(self):
-        # drain so the producer can exit, then join
-        while self._thread.is_alive():
-            try:
-                self._q.get(timeout=0.1)
-            except queue.Empty:
-                pass
+        # signal the producer to stop (it checks before each put), then join;
+        # safe to call from a finally even mid-iteration
+        self._stop.set()
         self._thread.join(timeout=5)

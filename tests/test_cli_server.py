@@ -40,6 +40,49 @@ def test_cli_server_dry_run_llava(tmp_path):
     assert len(summary["answers"]) == 1
 
 
+def test_cli_server_stream_output(tmp_path, capsys):
+    """--stream-output prints answer tokens incrementally (TextStreamer UX,
+    cli_video_stream.py:292-309); the summary still records full answers."""
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run",
+        "--synthetic-frames", "6", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "What is happening?",
+        "--question_interval", "1000",
+        "--max-new-tokens", "4", "--stream-output",
+    ])
+    summary = run_server(args)
+    assert len(summary["answers"]) == 1
+    captured = capsys.readouterr().out
+    assert "Q: What is happening?" in captured
+    # the streamed text equals the recorded answer
+    assert summary["answers"][0]["answer"] in captured.replace("\n", "")
+
+
+def test_answer_stream_matches_answer():
+    """answer_stream's concatenated deltas == answer() for greedy decode."""
+    import jax
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.preprocess.qwen_processor import (
+        make_byte_qwen_tokenizer)
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    from flash_vstream_tpu.runtime.streaming import QwenStreamSession
+    import numpy as np
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=2048)
+    frames = [np.zeros((56, 56, 3), np.uint8)] * 2
+    sess.ingest_frames(frames)
+    sess.block_until_ingested()
+    gen = GenerationConfig(max_new_tokens=6, eos_token_ids=())
+    full = sess.answer("What?", gen)
+    streamed = "".join(sess.answer_stream("What?", gen))
+    assert streamed.strip() == full.strip()
+
+
 def test_cli_server_prewarm_qwen(tmp_path):
     """--prewarm compiles the answer buckets up front, resets state, and the
     stream then runs normally (no leftover warmup frames in counts)."""

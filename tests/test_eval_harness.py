@@ -136,6 +136,71 @@ def test_frame_sampling_modes(tmp_path):
     assert len(out) == 10
 
 
+def make_fake_videochatgpt(root, n_videos=2, n_frames=4):
+    """Three-split VideoChatGPT bench layout (reference
+    eval_any_dataset.py:117-121)."""
+    frame_dir = os.path.join(root, "VideoChatGPTBench",
+                             "video_10000frames_high_fps1")
+    rng = np.random.default_rng(0)
+    for v in range(n_videos):
+        d = os.path.join(frame_dir, f"vid{v}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_frames):
+            img = rng.integers(0, 255, size=(56, 56, 3), dtype=np.uint8)
+            Image.fromarray(img).save(os.path.join(d, f"frame_{i:06d}.jpg"))
+    base = os.path.join(root, "VideoChatGPTBench")
+    for split in ("generic", "temporal"):
+        qa = [{"id": f"{split}{i}", "video_id": f"vid{i % n_videos}",
+               "question": f"What happens ({split} {i})?",
+               "answer": f"something {i}"} for i in range(2)]
+        with open(os.path.join(base, f"test_{split}_qa.json"), "w") as f:
+            json.dump(qa, f)
+    qa = [{"id": f"cons{i}", "video_id": f"vid{i % n_videos}",
+           "question1": f"What occurs in the clip ({i})?",
+           "question2": f"Describe what happens ({i}).",
+           "answer": f"something {i}"} for i in range(2)]
+    with open(os.path.join(base, "test_consistency_qa.json"), "w") as f:
+        json.dump(qa, f)
+
+
+def test_videochatgpt_three_splits(tmp_path, monkeypatch):
+    """videochatgpt evaluates generic+temporal+consistency splits and the
+    five judge dimensions (reference eval_any_dataset.py:117-121,371-387);
+    consistency samples ask BOTH paraphrases and record pred1/pred2."""
+    from flash_vstream_tpu.eval import gpt_judge
+    root = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    make_fake_videochatgpt(root)
+    monkeypatch.setattr(gpt_judge, "_chat_completion",
+                        lambda messages, model: "{'score': 4}")
+    eval_any_dataset.main([
+        "--dataset", "videochatgpt", "--data-root", root,
+        "--output-dir", out, "--dry-run", "--max-frames", "4",
+    ])
+    for split in ("generic", "temporal", "consistency"):
+        preds = [json.loads(l)
+                 for l in open(os.path.join(out, split, "pred.json"))]
+        assert len(preds) == 2
+        if split == "consistency":
+            assert all("pred1" in p and "pred2" in p for p in preds)
+        else:
+            assert all("pred" in p for p in preds)
+    result = json.load(open(os.path.join(out, "result.json")))
+    assert set(result) == {"1_correctness", "2_detailed_orientation",
+                           "3_context", "4_temporal", "5_consistency"}
+    assert result["5_consistency"] == "4.000000"  # raw 0-5 avg score
+
+
+def test_vcg_consistency_template_fields():
+    """The consistency judge template formats with question1/2 + pred1/2."""
+    from flash_vstream_tpu.eval.gpt_judge import VCG_DIMENSIONS
+    split, system, template = VCG_DIMENSIONS["5_consistency"]
+    assert split == "consistency"
+    text = template.format(question1="q1", question2="q2", answer="a",
+                           pred1="p1", pred2="p2", id=0, video_id="v")
+    assert "q1" in text and "p2" in text
+
+
 def test_eval_chunked_subprocess(tmp_path):
     """num_chunks > 1: workers run as subprocesses; results merge in scoring."""
     import subprocess

@@ -59,6 +59,38 @@ def test_qwen_lora_dry_run(tmp_path):
     res = run_training(args)
     assert np.isfinite(res["final_loss"])
     assert res["losses"][-1] < res["losses"][0]
+    # scalars stream written during the run (§5.1/§5.5)
+    import json
+    lines = [json.loads(l)
+             for l in open(os.path.join(out, "scalars.jsonl"))]
+    assert len(lines) == 5
+    assert {"step", "loss", "lr", "tokens_per_s"} <= set(lines[0])
+
+
+def test_qwen_frame_rung_buckets(tmp_path):
+    """Default flags (no --frame-bucket/--max-len): mixed-length videos land
+    on different frame rungs (short videos skip the max_frames ViT padding)
+    and each rung trains through its own compiled step."""
+    from flash_vstream_tpu.train.finetune_flash import build_synthetic_dataset
+    out = str(tmp_path / "run")
+    data_path, video_dir = build_synthetic_dataset(
+        str(tmp_path / "synthetic"), n_items=4, n_frames=[2, 2, 8, 8])
+    args = make_parser().parse_args([
+        "--dry-run", "--output-dir", out,
+        "--data-path", data_path, "--video-dir", video_dir,
+        "--max-steps", "2", "--grad-accum", "1",
+        "--max-frames", "8",
+        "--max-pixels", str(56 * 56),
+        "--learning-rate", "5e-3", "--save-steps", "100",
+        "--lora-rank", "2", "--lora-alpha", "4",
+    ])
+    res = run_training(args)
+    assert all(np.isfinite(l) for l in res["losses"])
+    import json
+    lines = [json.loads(l)
+             for l in open(os.path.join(out, "scalars.jsonl"))]
+    # 2-frame videos rung to 2, 8-frame to 8: two distinct buckets trained
+    assert len({l["bucket"] for l in lines}) == 2
 
 
 def test_llava_features_eval_worker(tmp_path):

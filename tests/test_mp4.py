@@ -80,3 +80,54 @@ def test_h264_samples_raise_with_instructions(tmp_path):
     open(path, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="pre-extract frames"):
         demux_mjpeg(path)
+
+
+def _h264_like_mp4(tmp_path):
+    """An mp4 whose samples are not JPEG (stands in for H.264 content)."""
+    frames = _frames(2)
+    path = str(tmp_path / "clip.mp4")
+    mux_mjpeg(path, frames, fps=1.0)
+    data = bytearray(open(path, "rb").read())
+    track = parse_mp4(path)
+    for off in track.sample_offsets:
+        data[off:off + 2] = b"\x00\x00"
+    open(path, "wb").write(bytes(data))
+    return path
+
+
+def test_load_video_h264_without_ffmpeg_raises(tmp_path, monkeypatch):
+    path = _h264_like_mp4(tmp_path)
+    import shutil
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    with pytest.raises(RuntimeError, match="no ffmpeg"):
+        load_video(path)
+
+
+def test_load_video_h264_auto_extract(tmp_path, monkeypatch):
+    """One-command H.264 flow: with an ffmpeg binary on PATH, load_video
+    auto-extracts to the sibling frame dir and serves frames from it (the
+    reference decodes any mp4 in-process, cli_video_stream.py:143-146)."""
+    import stat
+    import sys
+    path = _h264_like_mp4(tmp_path)
+    # fake ffmpeg: writes 4 jpgs at the output pattern (last argv)
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "ffmpeg"
+    fake.write_text(
+        f"#!{sys.executable}\n"
+        "import sys\n"
+        "import numpy as np\n"
+        "from PIL import Image\n"
+        "pattern = sys.argv[-1]\n"
+        "for i in range(1, 5):\n"
+        "    Image.fromarray(np.full((32, 32, 3), i * 30, np.uint8)).save("
+        "pattern % i)\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH",
+                       f"{bindir}{os.pathsep}" + os.environ.get("PATH", ""))
+    src = load_video(path)
+    assert len(src) == 4
+    # cached: the sibling dir now exists, a second load skips extraction
+    assert os.path.isdir(str(tmp_path / "clip"))
+    assert len(load_video(path)) == 4

@@ -82,6 +82,14 @@ def test_train_dry_run_and_resume(tmp_path):
     assert res["losses"][-1] < res["losses"][0]
     assert os.path.isdir(os.path.join(out, "checkpoint-6"))
 
+    # training scalars stream (§5.1/§5.5: the reference reports to
+    # TensorBoard; here a JSONL scalars file is always written)
+    import json
+    lines = [json.loads(l) for l in open(os.path.join(out, "scalars.jsonl"))]
+    assert len(lines) == 6
+    assert {"step", "loss", "lr", "step_time_s"} <= set(lines[0])
+    assert lines[0]["lr"] >= 0 and np.isfinite(lines[0]["loss"])
+
     # resume: raising max-steps continues from step 6
     args2 = make_parser().parse_args([
         "--dry-run", "--output-dir", out, "--stage", "finetune",
