@@ -56,6 +56,25 @@ ACTIVATIONS = {
 }
 
 
+# w8a8 prefill: when enabled, QuantWeight matmuls with >= _W8A8_MIN_ROWS
+# rows ALSO quantize the activations per-token to int8 and run an int8xint8
+# MXU dot (2x the bf16 rate on v5e). Decode matvecs (1-8 rows) stay
+# weight-only — they are HBM-bound, not MXU-bound. Trace-time flag: set it
+# BEFORE building jitted programs (weights/quantize.enable_w8a8_prefill).
+W8A8_PREFILL = False
+_W8A8_MIN_ROWS = 128
+
+
+def _w8a8_dot(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                  -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return (out.astype(jnp.float32) * xs * scale).astype(x.dtype)
+
+
 def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Matmul accepting a plain weight, a weight-only int8 QuantWeight
     (weights/quantize.py: int8 operand converts in the MXU feed, per-channel
@@ -67,8 +86,12 @@ def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         out = out + jnp.dot(jnp.dot(x, w.a.astype(x.dtype)),
                             w.b.astype(x.dtype)).astype(out.dtype)
     elif hasattr(w, "q"):          # QuantWeight
-        out = jnp.dot(x, w.q.astype(x.dtype))
-        out = out * w.scale.astype(out.dtype)
+        if (W8A8_PREFILL and x.ndim >= 2
+                and x.shape[-2] >= _W8A8_MIN_ROWS):
+            out = _w8a8_dot(x, w.q, w.scale)
+        else:
+            out = jnp.dot(x, w.q.astype(x.dtype))
+            out = out * w.scale.astype(out.dtype)
     else:
         out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:

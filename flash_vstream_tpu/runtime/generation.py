@@ -135,6 +135,12 @@ class Generator:
         self._step = jax.jit(step, donate_argnums=(3,))
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
                                     static_argnums=(4,))
+        # unjitted bodies, for callers that COMPOSE prefill+decode (and
+        # prompt assembly) into one jit — a full answer then costs a single
+        # dispatch, which matters when per-dispatch latency is tens of ms
+        # (remote-device tunnels)
+        self.prefill_fn = prefill
+        self.decode_loop_fn = decode_loop
 
     def generate_batch(
         self,

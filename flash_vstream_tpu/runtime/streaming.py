@@ -431,11 +431,10 @@ class QwenStreamSession:
     def _bucket_t(real: int, cap: int) -> int:
         return bucket_up(real, cap)
 
-    def _prompt_parts(self, question: str, snapshot, n_frames: int):
-        """(embeds, positions, decode_start, seg_row, last_real_idx) for one
-        stream's published snapshot. Memory sizes are bucketed; the padded
-        DAM/CSM slots get segment id -1 so attention never sees them."""
-        spa_pos, tem_pos, video_embeds = snapshot
+    def _prompt_host(self, question: str, n_frames: int) -> dict:
+        """Host-side prompt pieces for one snapshot: bucketed memory sizes,
+        pre/post token ids (question bucketed to 32s), segment row (padded
+        DAM/CSM slots get id -1 so attention never sees them)."""
         fm = self.cfg.flash_memory
         t_dam_real = min(n_frames, fm.dam_grid_len)
         t_csm_real = min(n_frames, fm.csm_grid_len)
@@ -454,13 +453,8 @@ class QwenStreamSession:
         Qb = -(-q_real // 32) * 32
         pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
         post_p = np.pad(post, (0, Qb - q_real), constant_values=pad_id)
-
-        fn = self._assemble_fn(t_dam, t_csm, len(pre), Qb)
-        embeds, positions, decode_start = fn(
-            self.params, spa_pos, tem_pos, video_embeds,
-            jnp.asarray(pre), jnp.asarray(post_p), jnp.int32(q_real))
-        S = embeds.shape[1]
         P = len(pre)
+        S = P + n_vis + Qb
         vis_valid = np.concatenate([
             np.arange(n_dam) < t_dam_real * self.p_full // 4,
             np.arange(n_csm) < t_csm_real * self.p_small // 4])
@@ -469,8 +463,102 @@ class QwenStreamSession:
             np.where(vis_valid, 0, -1).astype(np.int32),
             np.zeros(q_real, np.int32),
             np.full(S - P - n_vis - q_real, -1, np.int32)])
-        last_real_idx = P + n_vis + q_real - 1
-        return embeds, positions, decode_start, seg_row, last_real_idx
+        return {"t_dam": t_dam, "t_csm": t_csm, "P": P, "Qb": Qb, "S": S,
+                "n_vis": n_vis, "pre": pre, "post_p": post_p,
+                "q_real": q_real, "seg_row": seg_row,
+                "last_real": P + n_vis + q_real - 1}
+
+    def _prompt_parts(self, question: str, snapshot, n_frames: int):
+        """(embeds, positions, decode_start, seg_row, last_real_idx) for one
+        stream's published snapshot."""
+        spa_pos, tem_pos, video_embeds = snapshot
+        h = self._prompt_host(question, n_frames)
+        fn = self._assemble_fn(h["t_dam"], h["t_csm"], h["P"], h["Qb"])
+        embeds, positions, decode_start = fn(
+            self.params, spa_pos, tem_pos, video_embeds,
+            jnp.asarray(h["pre"]), jnp.asarray(h["post_p"]),
+            jnp.int32(h["q_real"]))
+        return (embeds, positions, decode_start, h["seg_row"],
+                h["last_real"])
+
+    def _answer_fused_fn(self, t_dam: int, t_csm: int, P: int, Qb: int,
+                         max_new: int, cache_len: int):
+        """ONE jit for a whole greedy answer: snapshot->embeds assembly,
+        prefill, and the fused decode loop. Per-dispatch latency through a
+        remote-device tunnel is tens of ms, so collapsing the
+        assemble/prefill/argmax/decode-loop dispatches into one is worth
+        ~100 ms of answer latency."""
+        key = ("fused", t_dam, t_csm, P, Qb, max_new, cache_len)
+        if key in getattr(self, "_assemble_cache", {}):
+            return self._assemble_cache[key]
+        if not hasattr(self, "_assemble_cache"):
+            self._assemble_cache = {}
+        cfg = self.cfg
+        fm = cfg.flash_memory
+        gh, gw = self.grid_hw
+        n_dam_tok = t_dam * self.p_full // 4
+        n_csm_tok = t_csm * self.p_small // 4
+        gen_obj = self.generator
+        llm = cfg.llm
+
+        def fused(params, spa_pos, tem_pos, video_embeds, pre_ids,
+                  post_ids, q_real, seg_row, last_real, eos_ids):
+            from ..models.layers import KVCache
+            from ..models.llm import embed_tokens
+            dam_embeds = video_embeds[:n_dam_tok]
+            csm_embeds = video_embeds[
+                fm.dam_grid_len * self.p_full // 4:][:n_csm_tok]
+            vis = jnp.concatenate([dam_embeds, csm_embeds])
+            vis_pos = am_rope_visual_positions(
+                spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw),
+                (gh // 2, gw // 2))
+            dtype = params["llm"]["embed"].dtype
+            embeds = jnp.concatenate([
+                embed_tokens(params["llm"], pre_ids[None]),
+                vis[None].astype(dtype),
+                embed_tokens(params["llm"], post_ids[None]),
+            ], axis=1)
+            pre_pos = jnp.broadcast_to(jnp.arange(P)[None], (3, P))
+            vpos = vis_pos + P
+            st = jnp.max(vpos) + 1
+            tail = st + jnp.broadcast_to(jnp.arange(Qb)[None], (3, Qb))
+            pos = jnp.concatenate([pre_pos, vpos, tail], axis=1)[:, None, :]
+            decode_start = st + q_real
+            cache = KVCache.create(llm.num_layers, 1, llm.num_kv_heads,
+                                   cache_len, llm.head_dim,
+                                   gen_obj.cache_dtype)
+            logits, cache = gen_obj.prefill_fn(
+                params["llm"], embeds, pos, cache, seg_row[None], last_real)
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out, n, _ = gen_obj.decode_loop_fn(
+                params["llm"], first, decode_start, cache, max_new, eos_ids)
+            return out, n
+
+        fn = jax.jit(fused)
+        self._assemble_cache[key] = fn
+        return fn
+
+    def _answer_fused(self, snapshot, n_frames: int, question: str,
+                      gen: "GenerationConfig") -> List[int]:
+        h = self._prompt_host(question, n_frames)
+        assert h["S"] + gen.max_new_tokens <= self.generator.max_len, (
+            f"prompt ({h['S']}) + max_new_tokens ({gen.max_new_tokens}) "
+            f"exceeds the KV capacity ({self.generator.max_len})")
+        cache_len = self.generator._active_len(h["S"], gen.max_new_tokens)
+        fn = self._answer_fused_fn(h["t_dam"], h["t_csm"], h["P"], h["Qb"],
+                                   gen.max_new_tokens, cache_len)
+        spa_pos, tem_pos, video_embeds = snapshot
+        eos_ids = sorted(set(gen.eos_token_ids))
+        out, n = fn(self.params, spa_pos, tem_pos, video_embeds,
+                    jnp.asarray(h["pre"]), jnp.asarray(h["post_p"]),
+                    jnp.int32(h["q_real"]), jnp.asarray(h["seg_row"]),
+                    jnp.int32(h["last_real"]),
+                    jnp.asarray(eos_ids, jnp.int32))
+        toks = np.asarray(out[0, :int(n)]).tolist()
+        for j, t in enumerate(toks):
+            if t in gen.eos_token_ids:
+                return toks[:j + 1]
+        return toks
 
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
@@ -490,15 +578,19 @@ class QwenStreamSession:
         session state — safe for concurrent callers holding different
         snapshots (the multi-stream engine answers stream i while stream j's
         question is in flight on another thread)."""
-        embeds, positions, decode_start, seg_row, last_real = \
-            self._prompt_parts(question, snapshot, n_frames)
         gen = gen or GenerationConfig(
             max_new_tokens=128,
             eos_token_ids=(self.tokenizer.eos_token_id,))
-        out = self.generator.generate(
-            embeds, positions, gen, decode_pos_start=decode_start,
-            segment_ids=jnp.asarray(seg_row)[None],
-            last_real_idx=last_real)
+        if gen.temperature <= 0.0 or gen.top_k == 1:
+            # greedy: whole answer in ONE dispatch (assemble+prefill+decode)
+            out = self._answer_fused(snapshot, n_frames, question, gen)
+        else:
+            embeds, positions, decode_start, seg_row, last_real = \
+                self._prompt_parts(question, snapshot, n_frames)
+            out = self.generator.generate(
+                embeds, positions, gen, decode_pos_start=decode_start,
+                segment_ids=jnp.asarray(seg_row)[None],
+                last_real_idx=last_real)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         # ChatML assistant turns terminate on <|im_end|>
         return trim_stop_strings(

@@ -107,10 +107,9 @@ def prewarm_session(session, args, gen, logger):
             if key in seen:
                 continue
             seen.add(key)
-            e, p, d, seg, last = session._prompt_parts(q, snapshot, n)
-            session.generator.generate(
-                e, p, gen, decode_pos_start=d,
-                segment_ids=jnp.asarray(seg)[None], last_real_idx=last)
+            # compile the same program answers use (the fused
+            # assemble+prefill+decode jit for greedy configs)
+            session.answer_snapshot(snapshot, n, q, gen)
     else:                                          # LLaVA family
         from ..models.vstream_llava import star_valid_counts
         sat_frames = session.cfg.star.video_max_frames

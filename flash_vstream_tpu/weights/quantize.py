@@ -52,3 +52,12 @@ def quantize_params(params, targets: Sequence[str] = DEFAULT_QUANT_TARGETS):
 
 def dequantize_weight(qw: QuantWeight, dtype=jnp.float32) -> jnp.ndarray:
     return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
+
+
+def enable_w8a8_prefill(on: bool = True):
+    """Opt into int8xint8 MXU matmuls for prefill-scale QuantWeight dots
+    (2x the bf16 MXU rate on v5e; activations quantize per-token on the
+    fly). Logits drift slightly vs weight-only int8 — off by default; set
+    BEFORE building any jitted program (the flag is read at trace time)."""
+    from ..models import layers
+    layers.W8A8_PREFILL = bool(on)

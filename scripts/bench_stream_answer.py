@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--side", type=int, default=224)
     ap.add_argument("--clip", type=int, default=8)
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--w8a8-prefill", action="store_true",
+                    help="int8xint8 MXU prefill over the int8 decoder "
+                         "(2x bf16 matmul rate; slight logit drift)")
     ap.add_argument("--arch", choices=["2b", "7b"], default="2b",
                     help="7b = Qwen2-VL-7B decoder with weight-only int8")
     args = ap.parse_args()
@@ -44,6 +47,9 @@ def main():
     from flash_vstream_tpu.runtime.streaming import QwenStreamSession
 
     enable_compilation_cache()
+    if args.w8a8_prefill:
+        from flash_vstream_tpu.weights.quantize import enable_w8a8_prefill
+        enable_w8a8_prefill()
 
     if args.arch == "7b":
         llm = LLMConfig(vocab_size=152064, hidden_size=3584,
@@ -110,6 +116,7 @@ def main():
         "metric": f"stream_answer_latency_{args.arch}",
         "visual_tokens": int(n_vis), "decode_tokens": args.decode,
         "kv_dtype": "int8" if args.kv_int8 else "bf16",
+        "w8a8_prefill": bool(args.w8a8_prefill),
         "p50_s": round(p50, 4),
         "llm_latency_avg_s": round(
             sess.metrics.get("llm_latency").avg, 4),

@@ -43,6 +43,29 @@ def test_quantized_dense_matches(rng):
     assert rel < 0.02, rel
 
 
+def test_w8a8_prefill_dense_matches(rng):
+    """w8a8 (int8 activations x int8 weights on the MXU) engages only at
+    prefill row counts and stays within quantization error of full fp."""
+    from flash_vstream_tpu.models import layers
+    from flash_vstream_tpu.weights.quantize import enable_w8a8_prefill
+    x = rng.normal(size=(256, 32)).astype(np.float32)
+    w = rng.normal(size=(32, 16)).astype(np.float32)
+    full = np.asarray(dense(jnp.asarray(x), jnp.asarray(w)))
+    qw = quantize_weight(jnp.asarray(w))
+    try:
+        enable_w8a8_prefill(True)
+        qout = np.asarray(dense(jnp.asarray(x), qw))
+        # decode-shaped inputs (rows < 128) stay on the weight-only path
+        small = np.asarray(dense(jnp.asarray(x[:4]), qw))
+    finally:
+        enable_w8a8_prefill(False)
+    rel = np.abs(qout - full).max() / np.abs(full).max()
+    assert rel < 0.03, rel
+    weight_only = np.asarray(dense(jnp.asarray(x[:4]), qw))
+    assert np.allclose(small, weight_only)
+    assert layers.W8A8_PREFILL is False
+
+
 def test_quantize_params_targets():
     params = init_llm_params(jax.random.PRNGKey(0), CFG)
     qp = quantize_params(params)
