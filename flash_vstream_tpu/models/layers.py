@@ -419,7 +419,26 @@ def mha_decode(
     return out, kc_all, vc_all, ks_all, vs_all
 
 
-def swiglu_mlp(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def swiglu_mlp(params: dict, x: jnp.ndarray,
+               seq_chunk: int = 0) -> jnp.ndarray:
+    """SwiGLU MLP; seq_chunk > 0 processes the sequence in checkpointed
+    chunks. The MLP is per-token, so chunking is exact — it exists because
+    one layer's BACKWARD holds ~4 [S, I] intermediates (gate, up, dsilu,
+    dgate), which at production training shapes (S=14000, I=18944 bf16) is
+    ~2 GB of transient HBM; chunking caps it at 4 [chunk, I]."""
+    if seq_chunk and x.ndim == 3 and x.shape[1] > seq_chunk:
+        B, S, D = x.shape
+        c = seq_chunk
+        while S % c:                  # largest divisor of S <= seq_chunk
+            c -= 1
+        if c == 1:
+            return swiglu_mlp(params, x)
+        xs = x.reshape(B, S // c, c, D).swapaxes(0, 1)
+
+        def one(h):
+            return swiglu_mlp(params, h)
+        out = jax.lax.map(jax.checkpoint(one), xs)
+        return out.swapaxes(0, 1).reshape(B, S, D)
     gate = dense(x, params["gate"]["w"])
     up = dense(x, params["up"]["w"])
     return dense(jax.nn.silu(gate) * up, params["down"]["w"])

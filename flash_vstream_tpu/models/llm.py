@@ -92,12 +92,17 @@ def decoder_forward(
     segment_ids: Optional[jnp.ndarray] = None,   # [B, S]; -1 = padding
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    mlp_seq_chunk: int = 0,   # chunked MLP (exact; caps bwd HBM at scale)
+    remat_group: int = 1,     # layers per checkpoint boundary (no-cache
+                              # path): g>1 divides the stacked boundary
+                              # saves [L, B, S, D] by g at the cost of
+                              # recomputing g layers per backward step
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns final hidden states and updated cache."""
     cos, sin = _rope_for(cfg, positions)
     x = input_embeds
 
-    def block(x, layer_params, kv, cache_len, cache_segments):
+    def raw_block(x, layer_params, kv, cache_len, cache_segments):
         h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
         attn_out, new_kv = mha(
             layer_params["attn"], h,
@@ -107,17 +112,38 @@ def decoder_forward(
             kv_cache=kv, cache_len=cache_len, cache_segments=cache_segments)
         x = x + attn_out
         h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
-        x = x + swiglu_mlp(layer_params["mlp"], h)
+        x = x + swiglu_mlp(layer_params["mlp"], h, seq_chunk=mlp_seq_chunk)
         return x, new_kv
 
-    if remat:
-        block = jax.checkpoint(block, static_argnums=())
+    block = (jax.checkpoint(raw_block, static_argnums=()) if remat
+             else raw_block)
 
     if cache is None:
-        def body(x, layer_params):
-            x, _ = block(x, layer_params, None, None, None)
-            return x, None
-        x, _ = jax.lax.scan(body, x, params["layers"])
+        g = max(remat_group, 1) if remat else 1
+        if g > 1 and cfg.num_layers % g == 0:
+            # scan over layer GROUPS with one checkpoint per group: the
+            # scan's saved carries shrink from L to L/g copies of [B, S, D]
+            # (2.6 GB at 7B/seq-14k), recomputing g layers in backward
+            grouped = jax.tree.map(
+                lambda p: p.reshape(cfg.num_layers // g, g, *p.shape[1:]),
+                params["layers"])
+
+            def group_body(x, group_params):
+                # NESTED checkpoint: the group boundary bounds the scan's
+                # saved carries; the per-layer checkpoint keeps the group's
+                # backward from saving intra-layer intermediates (the f32
+                # rope/attention broadcasts are ~170 MB per layer at 7B)
+                def inner(x, lp):
+                    x, _ = block(x, lp, None, None, None)
+                    return x, None
+                x, _ = jax.lax.scan(inner, x, group_params)
+                return x, None
+            x, _ = jax.lax.scan(jax.checkpoint(group_body), x, grouped)
+        else:
+            def body(x, layer_params):
+                x, _ = block(x, layer_params, None, None, None)
+                return x, None
+            x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     elif input_embeds.shape[1] == 1:
         # decode step: fori_loop over layers with in-place updates on the
@@ -208,7 +234,49 @@ def lm_head(params: dict, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
 
 
 def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
-    return params["embed"][input_ids]
+    w = params["embed"]
+    if hasattr(w, "q"):            # int8 embedding: gather rows, then scale
+        return (w.q[input_ids].astype(jnp.bfloat16)
+                * w.scale[0].astype(jnp.bfloat16))
+    return w[input_ids]
+
+
+def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
+                               hidden: jnp.ndarray,   # [B, S, D]
+                               labels: jnp.ndarray,   # [B, S]
+                               chunk: int = 2048,
+                               ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted causal-LM loss WITHOUT materializing the [S, vocab] logits.
+
+    At production shapes (S=14000, vocab=152k) full f32 logits are 8.5 GB —
+    more than half a v5e chip. Sequence chunks run lm_head + CE inside a
+    checkpointed lax.map, so only one [chunk, vocab] block is live at a
+    time (forward and backward). Numerically identical to
+    cross_entropy_loss(lm_head(...), labels)."""
+    B, S, D = hidden.shape
+    h = hidden[:, :-1]
+    l = labels[:, 1:]
+    n = S - 1
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        l = jnp.pad(l, ((0, 0), (0, pad)), constant_values=ignore_index)
+    nb = (n + pad) // chunk
+    hs = h.reshape(B, nb, chunk, D).swapaxes(0, 1)      # [nb, B, chunk, D]
+    ls = l.reshape(B, nb, chunk).swapaxes(0, 1)
+
+    def one(args):
+        hh, ll = args
+        logits = lm_head(params, cfg, hh)
+        valid = ll != ignore_index
+        safe = jnp.where(valid, ll, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (jnp.sum(jnp.where(valid, nll, 0.0)),
+                jnp.sum(valid.astype(jnp.int32)))
+
+    sums, counts = jax.lax.map(jax.checkpoint(one), (hs, ls))
+    return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,

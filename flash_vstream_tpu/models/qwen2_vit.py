@@ -212,6 +212,47 @@ def qwen_vit_blocks_frames(
     return x
 
 
+def qwen_vit_encode_frames_chunked(
+    params: dict,
+    cfg: VitConfig,
+    full: jnp.ndarray,           # [T, P_full, pd] raw window-layout patches
+    small: jnp.ndarray,          # [T, P_small, pd] pooled patches
+    *,
+    hw_full: Tuple[int, int], hw_small: Tuple[int, int],
+    chunk: int, remat: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-chunked dual-resolution encode: (x [T,P_full,D], sx [T,P_small,D]).
+
+    Qwen2-VL ViT attention is block-diagonal per temporal frame (cu_seqlens
+    = repeat_interleave(h*w, t), model.py:419-422), so frames are fully
+    independent through the block stack and chunking over frames is EXACT.
+    With remat=True each chunk is a jax.checkpoint boundary: training at
+    real shapes (240 frames @448px ≈ 150k tokens) keeps only the per-chunk
+    outputs resident instead of 32 layers of full-stream activations —
+    the memory that makes the reference's gradient-checkpointed ViT fit
+    (finetune_flash.py:80-82) maps to chunk-level recompute here."""
+    T, P_full, pd = full.shape
+    P_small = small.shape[1]
+    assert T % chunk == 0, f"frame count {T} not divisible by chunk {chunk}"
+    D = cfg.hidden_size
+
+    def one(args):
+        f, s = args                                   # [chunk, P, pd]
+        allp = jnp.concatenate([f.reshape(chunk * P_full, pd),
+                                s.reshape(chunk * P_small, pd)], axis=0)
+        hidden = qwen_vit_blocks_frames(
+            params, cfg, allp, t_full=chunk, hw_full=hw_full,
+            t_small=chunk, hw_small=hw_small)
+        n_full = chunk * P_full
+        return (hidden[:n_full].reshape(chunk, P_full, D),
+                hidden[n_full:].reshape(chunk, P_small, D))
+
+    fn = jax.checkpoint(one) if remat else one
+    x, sx = jax.lax.map(fn, (full.reshape(T // chunk, chunk, P_full, pd),
+                             small.reshape(T // chunk, chunk, P_small, pd)))
+    return (x.reshape(T, P_full, D), sx.reshape(T, P_small, D))
+
+
 def patch_merger(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """HF PatchMerger: LN, merge 2x2 window tokens, 2-layer GELU MLP.
     x: [S, D] (S multiple of 4, window-contiguous) -> [S/4, out_dim]."""

@@ -80,6 +80,9 @@ def encode_video(
     grid: Tuple[int, int, int],  # static (t, h, w)
     *,
     key: jax.Array,
+    vit_chunk: int = 0,          # >0: frame-chunked encode (exact; frames
+                                 # are independent through the block stack)
+    vit_remat: bool = False,     # checkpoint each chunk (training memory)
 ) -> QwenVisualOutput:
     """Dual-resolution ViT encode + Flash memory + merger for one video.
 
@@ -93,16 +96,30 @@ def encode_video(
     small, small_grid = qwen_temporal_pool(
         patches, grid, cfg.vit.patch_size, cfg.vit.temporal_patch_size,
         cfg.vit.in_channels)
-    all_patches = jnp.concatenate([patches, small], axis=0)
-    # attention is block-diagonal per temporal frame, so the uniform-grid
-    # encoder batches frames instead of masking a padded [S, S] problem
-    hidden = qwen_vit_blocks_frames(
-        params["vit"], cfg.vit, all_patches,
-        t_full=t, hw_full=(h, w),
-        t_small=small_grid[0], hw_small=(small_grid[1], small_grid[2]))
-    n_full = t * h * w
-    x = hidden[:n_full].reshape(t, h * w, D)
-    sx = hidden[n_full:].reshape(t, small_grid[1] * small_grid[2], D)
+    chunk = min(vit_chunk, t) if vit_chunk else 0
+    while chunk > 1 and t % chunk:     # largest divisor of t <= vit_chunk
+        chunk -= 1
+    if chunk > 1 and chunk < t:
+        from .qwen2_vit import qwen_vit_encode_frames_chunked
+        pd = patches.shape[-1]
+        x, sx = qwen_vit_encode_frames_chunked(
+            params["vit"], cfg.vit,
+            patches.reshape(t, h * w, pd),
+            small.reshape(t, small_grid[1] * small_grid[2], pd),
+            hw_full=(h, w), hw_small=(small_grid[1], small_grid[2]),
+            chunk=chunk, remat=vit_remat)
+    else:
+        all_patches = jnp.concatenate([patches, small], axis=0)
+        # attention is block-diagonal per temporal frame, so the
+        # uniform-grid encoder batches frames instead of masking a padded
+        # [S, S] problem
+        hidden = qwen_vit_blocks_frames(
+            params["vit"], cfg.vit, all_patches,
+            t_full=t, hw_full=(h, w),
+            t_small=small_grid[0], hw_small=(small_grid[1], small_grid[2]))
+        n_full = t * h * w
+        x = hidden[:n_full].reshape(t, h * w, D)
+        sx = hidden[n_full:].reshape(t, small_grid[1] * small_grid[2], D)
 
     fm = flash_consolidate(cfg.flash_memory, x, sx, key=key)
     merged_in = cat_spa_tem(fm.spa_x, fm.tem_x)                     # [N_tok, D]

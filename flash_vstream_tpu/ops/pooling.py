@@ -13,6 +13,7 @@ All are pure reshape+mean compositions that XLA fuses; no kernels needed.
 from __future__ import annotations
 
 import math
+from functools import lru_cache as _lru_cache
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -47,6 +48,26 @@ def merge_2x2_tokens(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, (p // 2) ** 2, 4 * D)
 
 
+@_lru_cache(maxsize=None)
+def _pool_matrix(ps: int):
+    """[4, ps*ps, ps*ps] map from a 2x2 patch window's pixels to the pooled
+    patch: output pixel (p, q) averages combined-block pixels
+    (2p+dy, 2q+dx); block pixel (P, Q) lives in source patch
+    (a, b) = (P//ps, Q//ps) at local (P%ps, Q%ps)."""
+    import numpy as np
+    M = np.zeros((4, ps * ps, ps * ps), np.float32)
+    for p in range(ps):
+        for q in range(ps):
+            o = p * ps + q
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    P, Q = 2 * p + dy, 2 * q + dx
+                    a, b = P // ps, Q // ps
+                    s = (P % ps) * ps + (Q % ps)
+                    M[a * 2 + b, s, o] += 0.25
+    return M
+
+
 def qwen_temporal_pool(x: jnp.ndarray, grid_thw: Tuple[int, int, int],
                        patch_size: int = 14, temporal_patch_size: int = 2,
                        channels: int = 3) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
@@ -60,6 +81,14 @@ def qwen_temporal_pool(x: jnp.ndarray, grid_thw: Tuple[int, int, int],
     Returns the 2x-downsampled patch stream [t*(h/2)*(w/2), C*tp*ps*ps] and
     the new grid (t, h/2, w/2). Mirrors FlashMemory.temporal_pool
     (vstream_qwen2vl_model.py:113-142).
+
+    Implementation: the pooled patch is a fixed LINEAR map of its window's
+    four source patches, applied per (channel, temporal) plane as one
+    einsum on the MXU. The window layout already groups each pooled patch's
+    sources (window (i, j) holds original patches (2i+a, 2j+b)), so no
+    pixel-level reshapes are needed — the earlier 9-D reshape with (14, 14)
+    trailing dims padded 10.4x under TPU (8, 128) tiling and OOM'd
+    real-shape training (551 MB -> 5.6 GB at 240 frames @448px).
     """
     t, h, w = grid_thw
     ps, tp, C = patch_size, temporal_patch_size, channels
@@ -67,17 +96,13 @@ def qwen_temporal_pool(x: jnp.ndarray, grid_thw: Tuple[int, int, int],
     assert x.shape[-1] == xdim
     assert h % 4 == 0 and w % 4 == 0, (
         f"grid h,w must be multiples of 4 for temporal_pool, got {(h, w)}")
-    # Undo window layout -> per-pixel grid, average 2x2 patch windows' pixels.
-    x = x.reshape(t, h // 2, w // 2, 2, 2, C, tp, ps, ps)
-    # -> [t, hb, wb, C, tp, 2(hh), ps, 2(ww), ps]: one 2ps x 2ps pixel block
-    x = x.transpose(0, 1, 2, 5, 6, 3, 7, 4, 8)
-    # 2x2 average pool over the 2ps x 2ps pixel block: reinterpret rows/cols
-    # as (ps, 2) and average the inner pairs.
-    x = x.reshape(t, h // 2, w // 2, C, tp, ps, 2, ps, 2)
-    x = jnp.mean(x, axis=(-3, -1))                       # [t, hb, wb, C, tp, ps, ps]
-    # Re-window: group the (h/2, w/2) patch grid into 2x2 windows again.
+    M = jnp.asarray(_pool_matrix(ps), x.dtype)
+    n = t * (h // 2) * (w // 2)
+    blocks = x.reshape(n, 4, C * tp, ps * ps)
+    pooled = jnp.einsum("nacp,apq->ncq", blocks, M,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    # pooled grid (h/2, w/2) in row-major order == window order; re-window
+    # the POOLED grid into 2x2 groups for the output layout
     nh, nw = h // 4, w // 4
-    x = x.reshape(t, nh, 2, nw, 2, C, tp, ps, ps)
-    x = x.transpose(0, 1, 3, 2, 4, 5, 6, 7, 8)           # [t, nh, nw, 2, 2, C, tp, ps, ps]
-    x = x.reshape(t * nh * nw * 4, xdim)
-    return x, (t, h // 2, w // 2)
+    pooled = pooled.reshape(t, nh, 2, nw, 2, xdim).transpose(0, 1, 3, 2, 4, 5)
+    return pooled.reshape(t * nh * nw * 4, xdim), (t, h // 2, w // 2)

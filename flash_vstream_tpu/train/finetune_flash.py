@@ -244,7 +244,11 @@ def run_training(args) -> dict:
             # (gigabytes of serialization per compile; see CLAUDE.md)
             eff = lora_views(base, lora_params, alpha=alpha, rank=rank)
             from ..models.vstream_qwen import encode_video
-            vis = encode_video(eff, cfg, patches, grid, key=key)
+            # frame-chunked + checkpointed ViT: at real shapes (240 frames
+            # @448px) a monolithic encode's saved activations cannot fit
+            # one chip; chunking over frames is exact (per-frame attention)
+            vis = encode_video(eff, cfg, patches, grid, key=key,
+                               vit_chunk=args.vit_chunk, vit_remat=True)
             positions, _ = build_qwen_positions(max_len, span[0], span[1],
                                                 vis.visual_positions)
             from ..models.llm import decoder_forward, embed_tokens, lm_head
@@ -255,7 +259,16 @@ def run_training(args) -> dict:
                 vis.video_embeds[None].astype(embeds.dtype),
                 embeds[:, start + n_vis:]], axis=1)
             h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
-                                   segment_ids=seg[None], remat=True)
+                                   segment_ids=seg[None], remat=True,
+                                   mlp_seq_chunk=2048 if max_len >= 8192
+                                   else 0,
+                                   remat_group=2 if max_len >= 8192 else 1)
+            if max_len * cfg.llm.vocab_size > 1 << 26:
+                # production shapes (14k x 152k vocab): full f32 logits are
+                # 8.5 GB — chunked CE keeps one [2048, vocab] block live
+                from ..models.llm import cross_entropy_loss_chunked
+                return cross_entropy_loss_chunked(eff["llm"], cfg.llm, h,
+                                                  labels[None])
             logits = lm_head(eff["llm"], cfg.llm, h)
             return cross_entropy_loss(logits, labels[None])
 
@@ -397,6 +410,9 @@ def make_parser():
                         "auto rungs max_frames/{8,4,2,1} so short videos "
                         "skip most of the ViT padding compute")
     p.add_argument("--max-pixels", type=int, default=4 * 224 * 224)
+    p.add_argument("--vit-chunk", type=int, default=8,
+                   help="frame-pairs per checkpointed ViT chunk during "
+                        "training (0 = monolithic encode)")
     p.add_argument("--max-len", type=int, default=None,
                    help="sequence length; default 14000 (reference "
                         "model_max_length, train_and_eval.sh:52) or 512 "

@@ -49,6 +49,9 @@ class TrainConfig:
     trainable: Optional[Sequence[str]] = None
     # regexes of param paths to freeze (applied after trainable)
     frozen: Sequence[str] = ()
+    # dtype for Adam first moments (None = param dtype). bf16 halves the
+    # mu buffers; the variance (nu) always stays f32
+    mu_dtype: Optional[str] = None
 
 
 def _label_params(params, cfg: TrainConfig):
@@ -78,7 +81,8 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(schedule(lr), b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-                        weight_decay=cfg.weight_decay),
+                        weight_decay=cfg.weight_decay,
+                        mu_dtype=cfg.mu_dtype),
         )
 
     labels = _label_params(params, cfg)

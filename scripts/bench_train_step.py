@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--lora-rank", type=int, default=64)
+    ap.add_argument("--arch", choices=["2b", "7b"], default="2b",
+                    help="7b = Qwen2-VL-7B int8 base (QLoRA) at production "
+                         "shapes: pass --frames 240 --seq 14000 --px 448")
+    ap.add_argument("--px", type=int, default=224,
+                    help="frame side; 448 = the reference eval/train "
+                         "max_pixels (4*224^2)")
+    ap.add_argument("--vit-chunk", type=int, default=8,
+                    help="frame-pairs per checkpointed ViT chunk")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU (script logic check)")
     args = ap.parse_args()
@@ -60,6 +68,18 @@ def main():
         cfg = tiny_qwen_config()
         cfg = cfg.replace(flash_memory=FlashMemoryConfig(
             temporal_length=16, spatial_length=8))
+    elif args.arch == "7b":
+        # production shapes: full Flash memory config, 7B decoder with an
+        # int8 (QLoRA) base — a bf16 7B base cannot co-reside with training
+        # state on one 16 GB chip
+        cfg = VStreamQwenConfig(
+            vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=3584),
+            llm=LLMConfig(vocab_size=152064, hidden_size=3584,
+                          intermediate_size=18944, num_layers=28,
+                          num_heads=28, num_kv_heads=4, attention_bias=True,
+                          rope_theta=1e6, mrope_sections=(16, 24, 24)),
+            flash_memory=FlashMemoryConfig(),
+        )
     else:
         cfg = VStreamQwenConfig(
             vit=dataclasses.replace(QWEN2_VL_VIT, merger_out_dim=1536),
@@ -70,11 +90,44 @@ def main():
             flash_memory=FlashMemoryConfig(temporal_length=16,
                                            spatial_length=8),
         )
-    params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.arch == "7b" and not args.tiny:
+        from bench_answer_latency import build_int8_7b
+        tiny_llm = dataclasses.replace(
+            cfg.llm, num_layers=2, hidden_size=256, intermediate_size=512,
+            num_heads=4, num_kv_heads=2, vocab_size=512,
+            mrope_sections=(8, 12, 12))
+        params = init_qwen_params(jax.random.PRNGKey(0),
+                                  cfg.replace(llm=tiny_llm),
+                                  dtype=jnp.bfloat16)
+        params["llm"] = build_int8_7b(cfg.llm, jax.random.PRNGKey(1),
+                                      jnp.bfloat16)
+        # keep lm_head bf16: the int8 dequant materializes a full bf16 copy
+        # of the [3584, 152064] head as an HLO temp every CE chunk (1 GB)
+        from flash_vstream_tpu.weights.quantize import (QuantWeight,
+                                                        dequantize_weight,
+                                                        quantize_weight)
+        if isinstance(params["llm"].get("lm_head"), QuantWeight):
+            params["llm"]["lm_head"] = dequantize_weight(
+                params["llm"]["lm_head"], jnp.bfloat16)
+        # int8 embedding (row gather + scale): frozen under LoRA, and the
+        # bf16 table is 1.09 GB of the argument budget
+        params["llm"]["embed"] = quantize_weight(params["llm"]["embed"])
+        # int8 ViT: the tower is frozen under LoRA (reference excludes it
+        # from LoRA targets, finetune_flash.py:544-554) — QLoRA treatment
+        # halves another 1.26 GB of arguments
+        from flash_vstream_tpu.weights.quantize import quantize_params
+        params["vit"] = quantize_params(
+            params["vit"], targets=(r"layers/attn/w[qkvo]/w$",
+                                    r"layers/mlp/fc[12]/w$",
+                                    r"merger/fc[12]/w$"))
+    else:
+        params = init_qwen_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
     lora = init_lora_params(jax.random.PRNGKey(1), params,
                             rank=args.lora_rank, targets=QWEN_TARGETS)
 
-    t, gh, gw = args.frames // 2, (4 if args.tiny else 16), (4 if args.tiny else 16)
+    side_grid = 4 if args.tiny else args.px // 14
+    t, gh, gw = args.frames // 2, side_grid, side_grid
     grid = (t, gh, gw)
     pd = 3 * 2 * 14 * 14
     dam = min(t, cfg.flash_memory.dam_grid_len) * gh * gw // 4
@@ -86,7 +139,8 @@ def main():
 
     def loss_fn(lora_params, batch, key, base):
         eff = lora_views(base, lora_params, alpha=32, rank=args.lora_rank)
-        vis = encode_video(eff, cfg, batch["patches"], grid, key=key)
+        vis = encode_video(eff, cfg, batch["patches"], grid, key=key,
+                           vit_chunk=args.vit_chunk, vit_remat=True)
         ids = batch["ids"][None]
         embeds = embed_tokens(eff["llm"], ids)
         embeds = jnp.concatenate([
@@ -96,12 +150,21 @@ def main():
         positions, _ = build_qwen_positions(S, start, n_vis,
                                             vis.visual_positions)
         h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
-                               remat=True)
+                               remat=True,
+                               mlp_seq_chunk=2048 if S >= 8192 else 0,
+                               remat_group=7 if S >= 8192 else 1)
+        if S * cfg.llm.vocab_size > 1 << 26:
+            from flash_vstream_tpu.models.llm import (
+                cross_entropy_loss_chunked)
+            return cross_entropy_loss_chunked(eff["llm"], cfg.llm, h,
+                                              batch["labels"][None],
+                                              chunk=512)
         logits = lm_head(eff["llm"], cfg.llm, h)
         return cross_entropy_loss(logits, batch["labels"][None])
 
     tcfg = TrainConfig(learning_rate=8e-4, total_steps=100,
-                       grad_accum=args.accum, warmup_ratio=0.0)
+                       grad_accum=args.accum, warmup_ratio=0.0,
+                       mu_dtype="bfloat16" if args.arch == "7b" else None)
     trainer = Trainer(loss_fn, lora, tcfg, mesh=create_mesh(dp=1, tp=1),
                       frozen=params)
 
@@ -109,7 +172,8 @@ def main():
     batch = {
         # patches per microbatch: [t*gh*gw, pd]
         "patches": jnp.asarray(rng.normal(
-            size=(args.accum, t * gh * gw, pd)).astype(np.float32)),
+            size=(args.accum, t * gh * gw, pd)).astype(np.float32),
+            dtype=jnp.bfloat16),
         "ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
                                         (args.accum, S))),
         "labels": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
@@ -127,7 +191,7 @@ def main():
     p50 = sorted(times)[len(times) // 2]
     tok_per_step = args.accum * S
     print(json.dumps({
-        "metric": "train_step_2b_lora",
+        "metric": f"train_step_{args.arch}_lora",
         "frames": args.frames, "seq": S, "grad_accum": args.accum,
         "visual_tokens": int(n_vis),
         "step_p50_s": round(p50, 3),

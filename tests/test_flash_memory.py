@@ -128,3 +128,54 @@ def test_consolidate_dbscan_gmm_methods(rng):
         assert np.isfinite(np.asarray(out.tem_x)).all()
         ts = np.asarray(out.tem_positions)
         assert np.all((ts >= 0) & (ts < t))
+
+
+def test_vit_chunked_encode_matches_monolithic():
+    """Frame-chunked ViT encode (training memory path) is exact up to f32
+    reassociation: Qwen attention is block-diagonal per frame, so chunking
+    over frames reproduces the monolithic encoder. (Comparison happens at
+    the ENCODER boundary — downstream k-means makes discrete choices that a
+    1e-6 reassociation can flip on random features.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.qwen2_vit import (
+        qwen_vit_blocks_frames, qwen_vit_encode_frames_chunked)
+    from flash_vstream_tpu.models.vstream_qwen import (encode_video,
+                                                       init_qwen_params)
+    from flash_vstream_tpu.ops.pooling import qwen_temporal_pool
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    t, h, w = 6, 8, 8
+    pd = (cfg.vit.in_channels * cfg.vit.temporal_patch_size
+          * cfg.vit.patch_size ** 2)
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.normal(size=(t * h * w, pd)), jnp.float32)
+    small, sg = qwen_temporal_pool(
+        patches, (t, h, w), cfg.vit.patch_size, cfg.vit.temporal_patch_size,
+        cfg.vit.in_channels)
+    D = cfg.vit.hidden_size
+    hid = qwen_vit_blocks_frames(
+        params["vit"], cfg.vit, jnp.concatenate([patches, small], 0),
+        t_full=t, hw_full=(h, w), t_small=sg[0], hw_small=(sg[1], sg[2]))
+    x_m = hid[:t * h * w].reshape(t, h * w, D)
+    sx_m = hid[t * h * w:].reshape(t, sg[1] * sg[2], D)
+    for chunk, remat in ((2, False), (2, True), (3, True)):
+        x_c, sx_c = qwen_vit_encode_frames_chunked(
+            params["vit"], cfg.vit, patches.reshape(t, h * w, pd),
+            small.reshape(t, sg[1] * sg[2], pd),
+            hw_full=(h, w), hw_small=(sg[1], sg[2]),
+            chunk=chunk, remat=remat)
+        np.testing.assert_allclose(np.asarray(x_c), np.asarray(x_m),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sx_c), np.asarray(sx_m),
+                                   rtol=1e-4, atol=1e-4)
+    # full encode_video path runs with chunking + an odd chunk request
+    # (4 does not divide 6 -> falls back to divisor 3) and keeps shapes
+    key = jax.random.PRNGKey(1)
+    mono = encode_video(params, cfg, patches, (t, h, w), key=key)
+    for kw in (dict(vit_chunk=2, vit_remat=True), dict(vit_chunk=4)):
+        out = encode_video(params, cfg, patches, (t, h, w), key=key, **kw)
+        assert out.video_embeds.shape == mono.video_embeds.shape
+        assert np.isfinite(np.asarray(out.video_embeds)).all()

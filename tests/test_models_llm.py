@@ -188,3 +188,62 @@ def test_qwen_vit_frames_matches_segments(rng):
                                  t_small=t, hw_small=(th, tw))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cross_entropy_chunked_matches_full():
+    """Chunked CE (no [S, vocab] logits in memory) == plain CE, values and
+    gradients, incl. a chunk size that does not divide the sequence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.core.config import LLMConfig
+    from flash_vstream_tpu.models.llm import (cross_entropy_loss,
+                                              cross_entropy_loss_chunked,
+                                              init_llm_params, lm_head)
+    cfg = LLMConfig(vocab_size=97, hidden_size=16, intermediate_size=32,
+                    num_layers=1, num_heads=2, num_kv_heads=2)
+    params = init_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, S = 2, 23
+    h = jnp.asarray(rng.normal(size=(B, S, cfg.hidden_size)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
+    labels = labels.at[:, :5].set(-100)
+
+    def full(params, h):
+        return cross_entropy_loss(lm_head(params, cfg, h), labels)
+
+    def chunked(params, h):
+        return cross_entropy_loss_chunked(params, cfg, h, labels, chunk=8)
+
+    lf, gf = jax.value_and_grad(full, argnums=1)(params, h)
+    lc, gc = jax.value_and_grad(chunked, argnums=1)(params, h)
+    np.testing.assert_allclose(float(lc), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gf),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_swiglu_seq_chunk_matches():
+    """Sequence-chunked SwiGLU (training memory cap) == monolithic, values
+    and gradients, incl. a chunk that does not divide S (divisor fallback)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.models.layers import init_dense, swiglu_mlp
+    rng = np.random.default_rng(0)
+    D, I = 16, 32
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"gate": init_dense(keys[0], D, I),
+              "up": init_dense(keys[1], D, I),
+              "down": init_dense(keys[2], I, D)}
+    x = jnp.asarray(rng.normal(size=(1, 14, D)), jnp.float32)
+
+    def f_full(x):
+        return jnp.sum(swiglu_mlp(params, x) ** 2)
+
+    def f_chunk(x):
+        return jnp.sum(swiglu_mlp(params, x, seq_chunk=4) ** 2)  # -> 2
+
+    lf, gf = jax.value_and_grad(f_full)(x)
+    lc, gc = jax.value_and_grad(f_chunk)(x)
+    np.testing.assert_allclose(float(lc), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gf), rtol=1e-5)
