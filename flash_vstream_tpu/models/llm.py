@@ -97,6 +97,9 @@ def decoder_forward(
                               # path): g>1 divides the stacked boundary
                               # saves [L, B, S, D] by g at the cost of
                               # recomputing g layers per backward step
+    decode_multi: bool = False,  # S>1 tokens against an EXISTING cache
+                                 # prefix (speculative verify step) — takes
+                                 # the in-place decode path, not prefill
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack; returns final hidden states and updated cache."""
     cos, sin = _rope_for(cfg, positions)
@@ -145,14 +148,15 @@ def decoder_forward(
                 return x, None
             x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
-    elif input_embeds.shape[1] == 1:
+    elif input_embeds.shape[1] == 1 or decode_multi:
         # decode step: fori_loop over layers with in-place updates on the
         # FULL stacked cache (layers.mha_decode). The scan path below would
         # restack [L, B, Hkv, Smax, D] k/v buffers every token — that HBM
         # copy (~cache size per step) dominated decode latency at 7B.
         from .layers import mha_decode
+        S_new = input_embeds.shape[1]
         seg_new = (segment_ids if segment_ids is not None
-                   else jnp.zeros((input_embeds.shape[0], 1), jnp.int32))
+                   else jnp.zeros((input_embeds.shape[0], S_new), jnp.int32))
         cache = cache.with_segments(seg_new)
         quant = cache.quantized
 
@@ -180,7 +184,7 @@ def decoder_forward(
                 0, cfg.num_layers, body,
                 (x, cache.k, cache.v, cache.k_scale, cache.v_scale))
             new_cache = cache._replace(k=nk, v=nv, k_scale=nks,
-                                       v_scale=nvs).advance(1)
+                                       v_scale=nvs).advance(S_new)
         else:
             def body_plain(l, state):
                 x, kc_all, vc_all = state
@@ -189,7 +193,7 @@ def decoder_forward(
                 return x, kc_all, vc_all
             x, nk, nv = jax.lax.fori_loop(0, cfg.num_layers, body_plain,
                                           (x, cache.k, cache.v))
-            new_cache = cache._replace(k=nk, v=nv).advance(1)
+            new_cache = cache._replace(k=nk, v=nv).advance(S_new)
     else:
         S = input_embeds.shape[1]
         seg_new = (segment_ids if segment_ids is not None

@@ -31,6 +31,14 @@ class GenerationConfig:
     # model_msvd_qa_featuresloader.py:147-156); applied by trim_stop_strings
     # and, on the stepwise path, via KeywordsStoppingCriteria
     stop_strings: Sequence[str] = ()
+    # prompt-lookup speculative decoding (greedy path only, EXACT): draft
+    # the k tokens that followed the latest occurrence of the current
+    # n-gram in the prompt/generated history, verify them in one k+1-token
+    # forward (reads the weights once for k+1 targets — decode is
+    # weight-read-bound, so accepted drafts are nearly free). 0 = off.
+    # Requires context_ids at generate() time.
+    speculative_k: int = 0
+    speculative_ngram: int = 3
 
 
 def trim_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
@@ -131,10 +139,105 @@ class Generator:
             n, _, cache, out, _ = jax.lax.while_loop(cond, body, state)
             return out, n, cache
 
+        def spec_decode_loop(params, first_tok, pos_start, cache, hist0,
+                             h_len0, max_new, eos_ids, k, ngram):
+            """Greedy decode with in-loop PROMPT-LOOKUP drafting, all inside
+            one jit. Exact greedy equivalence: every emitted token is the
+            model's argmax given its true prefix — drafts only decide how
+            many targets one weight-read verifies. Rejected draft kv/out/
+            hist slots are overwritten by the next round's k+1-wide writes
+            (always wider than the rejected tail), so no rollback is needed.
+            """
+            B = first_tok.shape[0]
+            H = hist0.shape[1]
+            out = jnp.zeros((B, max_new + k), jnp.int32)
+
+            def is_eos(tok):
+                if eos_ids.shape[0] == 0:
+                    return jnp.zeros(tok.shape, bool)
+                return jnp.any(tok[..., None] == eos_ids[None, None, :],
+                               axis=-1)
+
+            def verify(params, toks, pos0, cache):
+                emb = embed_tokens(params, toks)
+                K1 = toks.shape[1]
+                pos_b = jnp.broadcast_to(
+                    jnp.asarray(pos0).reshape(-1, 1) + jnp.arange(K1)[None],
+                    (B, K1))
+                pos = (jnp.broadcast_to(pos_b[None], (3, B, K1))
+                       if mrope else pos_b)
+                h, cache = decoder_forward(params, cfg, emb, pos,
+                                           cache=cache, decode_multi=True)
+                return lm_head(params, cfg, h), cache
+
+            # history = context + first token (emitted at out[0])
+            hist = jax.lax.dynamic_update_slice(
+                hist0, first_tok.reshape(B, 1).astype(jnp.int32),
+                (0, h_len0))
+            h_len = h_len0 + 1
+            out = out.at[:, 0].set(first_tok)
+            done0 = is_eos(first_tok[:, None])[:, 0]
+
+            def cond(state):
+                i, tok, cache, out, done, hist, h_len = state
+                return (i < max_new) & ~jnp.all(done)
+
+            def body(state):
+                i, tok, cache, out, done, hist, h_len = state
+                # draft: tokens after the LATEST occurrence of the trailing
+                # ngram in history (prompt-lookup decoding)
+                q0 = jnp.maximum(h_len - ngram, 0)
+                query = jax.lax.dynamic_slice(hist, (0, q0), (B, ngram))
+                widx = (jnp.arange(H - ngram + 1)[:, None]
+                        + jnp.arange(ngram)[None])
+                windows = hist[0][widx]                       # [W, ngram]
+                jpos = jnp.arange(H - ngram + 1)
+                match = jnp.all(windows == query[0][None], axis=1)
+                valid = match & (jpos <= h_len - ngram - 1) & (h_len >= ngram)
+                found = jnp.any(valid)
+                jstar = jnp.max(jnp.where(valid, jpos, -1))
+                dstart = jnp.maximum(jstar + ngram, 0)
+                draft = jax.lax.dynamic_slice(hist, (0, dstart), (B, k))
+
+                toks_in = jnp.concatenate(
+                    [tok.reshape(B, 1).astype(jnp.int32), draft], axis=1)
+                logits, cache = verify(params, toks_in,
+                                       pos_start + i - 1, cache)
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
+                eq = (draft == g[:, :-1]) & found
+                m = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1),
+                            axis=1)                           # accepted
+                n_new = m + 1
+                eosv = is_eos(g)
+                within = jnp.arange(k + 1)[None] < n_new[:, None]
+                any_e = jnp.any(eosv & within, axis=1)
+                fe = jnp.argmax(eosv & within, axis=1)
+                n_emit = jnp.where(any_e, fe + 1, n_new)[0]
+                # unmasked writes: rejected tails are overwritten by the
+                # next round (k+1 wide) or trimmed by the returned count
+                out = jax.lax.dynamic_update_slice(out, g, (0, i))
+                hist = jax.lax.dynamic_update_slice(hist, g, (0, h_len))
+                # cache wrote k+1 entries; only 1+accepted are real
+                cache = cache._replace(
+                    length=cache.length - (k + 1) + n_emit)
+                done = done | any_e
+                tok = jnp.take_along_axis(
+                    g, (n_emit - 1).reshape(1, 1), axis=1)[:, 0]
+                return (i + n_emit, tok, cache, out, done, hist,
+                        h_len + n_emit)
+
+            state = (jnp.int32(1), first_tok.astype(jnp.int32), cache, out,
+                     done0, hist, h_len)
+            i, _, cache, out, _, _, _ = jax.lax.while_loop(cond, body, state)
+            return out, jnp.minimum(i, max_new + k), cache
+
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
         self._step = jax.jit(step, donate_argnums=(3,))
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
                                     static_argnums=(4,))
+        self._spec_decode_loop = jax.jit(spec_decode_loop,
+                                         donate_argnums=(3,),
+                                         static_argnums=(6, 8, 9))
         # unjitted bodies, for callers that COMPOSE prefill+decode (and
         # prompt assembly) into one jit — a full answer then costs a single
         # dispatch, which matters when per-dispatch latency is tens of ms
@@ -199,6 +302,8 @@ class Generator:
         segment_ids: Optional[jnp.ndarray] = None,  # [B, S]; -1 = padding
         last_real_idx=None,                  # logits position (right-padded)
         stopping=None,   # KeywordsStoppingCriteria (see below)
+        context_ids=None,  # text token ids (question/history) enabling
+                           # prompt-lookup speculative decoding
     ) -> List[int]:
         """Greedy/temperature decode; returns generated token ids (batch 1)."""
         B, S, _ = embeds.shape
@@ -206,7 +311,13 @@ class Generator:
         assert S + gen.max_new_tokens <= self.max_len, (
             f"prompt ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
             f"the KV cache capacity ({self.max_len}); raise max_len")
-        cache = self.new_cache(B, self._active_len(S, gen.max_new_tokens))
+        # speculative rounds may scribble up to k rejected entries past the
+        # final length; size the cache bucket for them
+        spec_pad = (gen.speculative_k
+                    if gen.speculative_k > 0 and context_ids is not None
+                    else 0)
+        cache = self.new_cache(
+            B, self._active_len(S, gen.max_new_tokens + spec_pad))
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)
         if decode_pos_start is None:
@@ -223,6 +334,22 @@ class Generator:
                 stop_ids |= set(stopping.single_token_ids())
             first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             eos = jnp.asarray(sorted(stop_ids), jnp.int32)
+            if gen.speculative_k > 0 and context_ids is not None:
+                k, ng = gen.speculative_k, gen.speculative_ngram
+                ctx = np.asarray(context_ids, np.int32).ravel()
+                Hb = -(-(len(ctx) + gen.max_new_tokens + k + 1) // 128) * 128
+                hist0 = np.zeros((1, Hb), np.int32)
+                hist0[0, :len(ctx)] = ctx
+                out, n, _ = self._spec_decode_loop(
+                    self.params, first, jnp.int32(decode_pos_start), cache,
+                    jnp.asarray(hist0), jnp.int32(len(ctx)),
+                    gen.max_new_tokens, eos, k, ng)
+                toks = np.asarray(out[0, :min(int(n),
+                                              gen.max_new_tokens)]).tolist()
+                for j, t in enumerate(toks):
+                    if t in stop_ids:
+                        return toks[:j + 1]
+                return toks
             out, n, _ = self._decode_loop(self.params, first,
                                           jnp.int32(decode_pos_start), cache,
                                           gen.max_new_tokens, eos)

@@ -244,6 +244,50 @@ class LLaVAStreamSession:
         return (embeds, jnp.asarray(positions)[None], post_pos0 + q_real,
                 seg, p + n_mem + q_real - 1, conv.stop_str)
 
+    def _answer_fused_fn(self, n_mem: int, max_new: int, cache_len: int):
+        """ONE jit per (memory bucket, decode budget): assembly + prefill +
+        fused decode loop (the Qwen session's single-dispatch answer,
+        mirrored for the LLaVA family)."""
+        key = ("fused", n_mem, max_new, cache_len)
+        if key in getattr(self, "_fused_cache", {}):
+            return self._fused_cache[key]
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        cfg = self.cfg
+        gen_obj = self.generator
+        llm = cfg.llm
+
+        def fused(params, mem_tokens, mem_valid, pre_ids, post_ids,
+                  positions, seg_row, last_real, decode_start, eos_ids):
+            from ..models.layers import KVCache
+            from ..models.llm import embed_tokens
+            from ..models.projector import project
+            from ..models.star_memory import STARMemory
+            from ..models.vstream_llava import pack_memory_tokens
+            packed = pack_memory_tokens(STARMemory(mem_tokens, mem_valid),
+                                        n_mem)
+            proj = project(params["projector"], cfg.projector, packed)
+            dtype = params["llm"]["embed"].dtype
+            embeds = jnp.concatenate([
+                embed_tokens(params["llm"], pre_ids[None]),
+                proj[None].astype(dtype),
+                embed_tokens(params["llm"], post_ids[None]),
+            ], axis=1)
+            cache = KVCache.create(llm.num_layers, 1, llm.num_kv_heads,
+                                   cache_len, llm.head_dim,
+                                   gen_obj.cache_dtype)
+            logits, cache = gen_obj.prefill_fn(
+                params["llm"], embeds, positions[None], cache,
+                seg_row[None], last_real)
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out, n, _ = gen_obj.decode_loop_fn(
+                params["llm"], first, decode_start, cache, max_new, eos_ids)
+            return out, n
+
+        fn = jax.jit(fused)
+        self._fused_cache[key] = fn
+        return fn
+
     def answer(self, question: str,
                gen: Optional[GenerationConfig] = None) -> str:
         with Timer(self.metrics, "llm_latency"):
@@ -254,18 +298,76 @@ class LLaVAStreamSession:
                 # with an old snapshot
                 memory, n_frames = self._published
                 assert memory is not None, "no frames ingested yet"
-            embeds, positions, decode_start, seg, last_real, stop_str = \
-                self._prompt_parts(question, memory, n_frames)
             gen = gen or GenerationConfig(
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
-            out = self.generator.generate(
-                embeds, positions, gen, decode_pos_start=decode_start,
-                segment_ids=jnp.asarray(seg)[None],
-                last_real_idx=last_real)
+            greedy = gen.temperature <= 0.0 or gen.top_k == 1
+            if greedy and gen.speculative_k == 0:
+                out = self._answer_fused(question, memory, n_frames, gen)
+                stop_str = conv_templates[self.conv_template].stop_str
+            else:
+                embeds, positions, decode_start, seg, last_real, stop_str = \
+                    self._prompt_parts(question, memory, n_frames)
+                ctx = None
+                if gen.speculative_k > 0:
+                    conv = conv_templates[self.conv_template].copy()
+                    conv.append_message(conv.roles[0],
+                                        "<image>\n" + question)
+                    conv.append_message(conv.roles[1], None)
+                    ids = tokenizer_image_token(conv.get_prompt(),
+                                                self.tokenizer)
+                    ctx = ids[ids >= 0]          # text ids only
+                out = self.generator.generate(
+                    embeds, positions, gen, decode_pos_start=decode_start,
+                    segment_ids=jnp.asarray(seg)[None],
+                    last_real_idx=last_real, context_ids=ctx)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         return trim_stop_strings(
             text, tuple(gen.stop_strings) or (stop_str,))
+
+    def _answer_fused(self, question: str, memory, n_frames: int,
+                      gen: "GenerationConfig") -> List[int]:
+        from ..models.vstream_llava import star_valid_counts
+        n_mem_real = sum(star_valid_counts(self.cfg, n_frames,
+                                           streaming=True))
+        n_mem = self._bucket_n_mem(n_mem_real)
+        conv = conv_templates[self.conv_template].copy()
+        conv.append_message(conv.roles[0], "<image>\n" + question)
+        conv.append_message(conv.roles[1], None)
+        input_ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        (img_pos,) = np.where(input_ids == -200)
+        p = int(img_pos[0])
+        pre, post = input_ids[:p], input_ids[p + 1:]
+        q_real = len(post)
+        qb = -(-q_real // 32) * 32
+        pad_id = self.tokenizer.pad_token_id or 0
+        post_p = np.pad(post, (0, qb - q_real), constant_values=pad_id)
+        S = p + n_mem + qb
+        positions = np.zeros(S, np.int64)
+        seg = np.full(S, -1, np.int32)
+        positions[:p] = np.arange(p)
+        seg[:p] = 0
+        positions[p:p + n_mem_real] = p + np.arange(n_mem_real)
+        seg[p:p + n_mem_real] = 0
+        post_pos0 = p + n_mem_real
+        positions[p + n_mem:p + n_mem + q_real] = \
+            post_pos0 + np.arange(q_real)
+        seg[p + n_mem:p + n_mem + q_real] = 0
+        last_real = p + n_mem + q_real - 1
+        assert S + gen.max_new_tokens <= self.generator.max_len
+        cache_len = self.generator._active_len(S, gen.max_new_tokens)
+        fn = self._answer_fused_fn(n_mem, gen.max_new_tokens, cache_len)
+        eos_ids = sorted(set(gen.eos_token_ids))
+        out, n = fn(self.params, memory.tokens, memory.valid,
+                    jnp.asarray(pre), jnp.asarray(post_p),
+                    jnp.asarray(positions), jnp.asarray(seg),
+                    jnp.int32(last_real), jnp.int32(post_pos0 + q_real),
+                    jnp.asarray(eos_ids, jnp.int32))
+        toks = np.asarray(out[0, :int(n)]).tolist()
+        for j, t in enumerate(toks):
+            if t in gen.eos_token_ids:
+                return toks[:j + 1]
+        return toks
 
     def answer_stream(self, question: str,
                       gen: Optional[GenerationConfig] = None):
@@ -468,11 +570,12 @@ class QwenStreamSession:
                 "q_real": q_real, "seg_row": seg_row,
                 "last_real": P + n_vis + q_real - 1}
 
-    def _prompt_parts(self, question: str, snapshot, n_frames: int):
+    def _prompt_parts(self, question: str, snapshot, n_frames: int,
+                      h: Optional[dict] = None):
         """(embeds, positions, decode_start, seg_row, last_real_idx) for one
         stream's published snapshot."""
         spa_pos, tem_pos, video_embeds = snapshot
-        h = self._prompt_host(question, n_frames)
+        h = h or self._prompt_host(question, n_frames)
         fn = self._assemble_fn(h["t_dam"], h["t_csm"], h["P"], h["Qb"])
         embeds, positions, decode_start = fn(
             self.params, spa_pos, tem_pos, video_embeds,
@@ -581,16 +684,22 @@ class QwenStreamSession:
         gen = gen or GenerationConfig(
             max_new_tokens=128,
             eos_token_ids=(self.tokenizer.eos_token_id,))
-        if gen.temperature <= 0.0 or gen.top_k == 1:
+        greedy = gen.temperature <= 0.0 or gen.top_k == 1
+        if greedy and gen.speculative_k == 0:
             # greedy: whole answer in ONE dispatch (assemble+prefill+decode)
             out = self._answer_fused(snapshot, n_frames, question, gen)
         else:
+            h = self._prompt_host(question, n_frames)
             embeds, positions, decode_start, seg_row, last_real = \
-                self._prompt_parts(question, snapshot, n_frames)
+                self._prompt_parts(question, snapshot, n_frames, h=h)
+            # prompt-lookup speculation drafts from the question text
+            ctx = (np.concatenate([h["pre"],
+                                   h["post_p"][:h["q_real"]]])
+                   if gen.speculative_k > 0 else None)
             out = self.generator.generate(
                 embeds, positions, gen, decode_pos_start=decode_start,
                 segment_ids=jnp.asarray(seg_row)[None],
-                last_real_idx=last_real)
+                last_real_idx=last_real, context_ids=ctx)
         text = self.tokenizer.decode(out, skip_special_tokens=True)
         # ChatML assistant turns terminate on <|im_end|>
         return trim_stop_strings(

@@ -101,3 +101,55 @@ def test_sampling_respects_topk(rng):
     out = g.generate(embeds, pos, GenerationConfig(
         max_new_tokens=6, temperature=5.0, top_k=2, seed=1))
     assert len(out) == 6
+
+
+def test_speculative_prompt_lookup_exact():
+    """Prompt-lookup speculative decoding emits EXACTLY the greedy output.
+    Case 2 seeds the context with the model's own continuation so drafts
+    ACCEPT (the multi-token verify path is exercised), and the output must
+    still match token-for-token."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.core.config import LLMConfig
+    from flash_vstream_tpu.models.llm import embed_tokens, init_llm_params
+    from flash_vstream_tpu.runtime.generation import (GenerationConfig,
+                                                      Generator)
+    cfg = LLMConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                    num_layers=2, num_heads=4, num_kv_heads=2)
+    params = init_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    g = Generator(params, cfg, max_len=512, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, 63, 12)
+    embeds = embed_tokens(params, jnp.asarray(prompt)[None])
+    pos = jnp.arange(12)[None]
+
+    base_gen = GenerationConfig(max_new_tokens=12, eos_token_ids=())
+    base = g.generate(embeds, pos, base_gen)
+
+    # 1) cold context (few matches): still exact
+    spec_gen = dataclasses.replace(base_gen, speculative_k=3,
+                                   speculative_ngram=2)
+    spec = g.generate(embeds, pos, spec_gen, context_ids=prompt)
+    assert spec == base, (spec, base)
+
+    # 2) context seeded with the true continuation: drafts accept
+    ctx = np.concatenate([prompt, np.asarray(base, np.int64), prompt])
+    spec2 = g.generate(embeds, pos, spec_gen, context_ids=ctx)
+    assert spec2 == base, (spec2, base)
+
+    # 3) EOS mid-stream: equivalence incl. early stop
+    eos_gen = dataclasses.replace(base_gen, eos_token_ids=(int(base[3]),))
+    base_eos = g.generate(embeds, pos, eos_gen)
+    spec_eos = g.generate(embeds, pos,
+                          dataclasses.replace(eos_gen, speculative_k=3,
+                                              speculative_ngram=2),
+                          context_ids=ctx)
+    assert spec_eos == base_eos, (spec_eos, base_eos)
+
+    # 4) int8 KV cache path
+    g8 = Generator(params, cfg, max_len=512, cache_dtype=jnp.int8)
+    b8 = g8.generate(embeds, pos, base_gen)
+    s8 = g8.generate(embeds, pos, spec_gen, context_ids=ctx)
+    assert s8 == b8, (s8, b8)

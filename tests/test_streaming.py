@@ -180,3 +180,30 @@ def test_threaded_ingestor():
     assert sess.n_frames == 6
     final = sess.answer("Q?", gen)
     assert isinstance(final, str)
+
+
+def test_session_speculative_matches_fused():
+    """Session answers with speculative decoding == the fused greedy path."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.preprocess.qwen_processor import (
+        make_byte_qwen_tokenizer)
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    from flash_vstream_tpu.runtime.streaming import QwenStreamSession
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=2048)
+    frames = [np.zeros((56, 56, 3), np.uint8)] * 2
+    sess.ingest_frames(frames)
+    sess.block_until_ingested()
+    gen = GenerationConfig(max_new_tokens=8, eos_token_ids=())
+    base = sess.answer("What is happening here?", gen)
+    spec = sess.answer("What is happening here?",
+                       dataclasses.replace(gen, speculative_k=3,
+                                           speculative_ngram=2))
+    assert spec == base, (spec, base)
