@@ -126,12 +126,16 @@ def decoder_forward(
         if g > 1 and cfg.num_layers % g == 0:
             # scan over layer GROUPS with one checkpoint per group: the
             # scan's saved carries shrink from L to L/g copies of [B, S, D]
-            # (2.6 GB at 7B/seq-14k), recomputing g layers in backward
+            # (2.6 GB at 7B/seq-14k), recomputing g layers in backward.
+            # (An unrolled python loop over groups was measured WORSE:
+            # without the scan the scheduler overlaps copy-starts across
+            # layers and peak temps nearly doubled, 6.1 -> 11.3 GiB at the
+            # 7B QLoRA production shape.)
             grouped = jax.tree.map(
                 lambda p: p.reshape(cfg.num_layers // g, g, *p.shape[1:]),
                 params["layers"])
 
-            def group_body(x, group_params):
+            def group_scan(x, group_params):
                 # NESTED checkpoint: the group boundary bounds the scan's
                 # saved carries; the per-layer checkpoint keeps the group's
                 # backward from saving intra-layer intermediates (the f32
@@ -141,7 +145,7 @@ def decoder_forward(
                     return x, None
                 x, _ = jax.lax.scan(inner, x, group_params)
                 return x, None
-            x, _ = jax.lax.scan(jax.checkpoint(group_body), x, grouped)
+            x, _ = jax.lax.scan(jax.checkpoint(group_scan), x, grouped)
         else:
             def body(x, layer_params):
                 x, _ = block(x, layer_params, None, None, None)
@@ -245,18 +249,35 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
     return w[input_ids]
 
 
+def _largest_divisor_le(n: int, cap: int) -> int:
+    c = min(cap, n)
+    while n % c:
+        c -= 1
+    return c
+
+
 def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
                                hidden: jnp.ndarray,   # [B, S, D]
                                labels: jnp.ndarray,   # [B, S]
                                chunk: int = 2048,
-                               ignore_index: int = -100) -> jnp.ndarray:
+                               ignore_index: int = -100,
+                               vocab_tile: int = 0) -> jnp.ndarray:
     """Shifted causal-LM loss WITHOUT materializing the [S, vocab] logits.
 
     At production shapes (S=14000, vocab=152k) full f32 logits are 8.5 GB —
     more than half a v5e chip. Sequence chunks run lm_head + CE inside a
     checkpointed lax.map, so only one [chunk, vocab] block is live at a
     time (forward and backward). Numerically identical to
-    cross_entropy_loss(lm_head(...), labels)."""
+    cross_entropy_loss(lm_head(...), labels)).
+
+    vocab_tile > 0 additionally tiles the VOCAB axis with an online
+    log-sum-exp (the flash-attention softmax trick applied to the loss):
+    per tile only a [chunk, tile] logits block and — when the head is an
+    int8 QuantWeight — a [D, tile] dequantized slice exist, so an int8
+    lm_head never materializes its 1 GB bf16 copy. The label logit comes
+    from an exact per-token column gather. QuantWeight heads default to
+    tiling (8192). Checkpointed per tile: the backward recomputes tiles
+    instead of saving them."""
     B, S, D = hidden.shape
     h = hidden[:, :-1]
     l = labels[:, 1:]
@@ -269,6 +290,12 @@ def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
     hs = h.reshape(B, nb, chunk, D).swapaxes(0, 1)      # [nb, B, chunk, D]
     ls = l.reshape(B, nb, chunk).swapaxes(0, 1)
 
+    w = params.get("lm_head")
+    quant = w is not None and hasattr(w, "q")
+    if vocab_tile == 0 and quant:
+        vocab_tile = 8192
+    V = cfg.vocab_size
+
     def one(args):
         hh, ll = args
         logits = lm_head(params, cfg, hh)
@@ -279,7 +306,57 @@ def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
         return (jnp.sum(jnp.where(valid, nll, 0.0)),
                 jnp.sum(valid.astype(jnp.int32)))
 
-    sums, counts = jax.lax.map(jax.checkpoint(one), (hs, ls))
+    def one_tiled(args):
+        hh, ll = args                          # [B, chunk, D], [B, chunk]
+        valid = ll != ignore_index
+        safe = jnp.where(valid, ll, 0)
+
+        vt = _largest_divisor_le(V, vocab_tile)
+        nt = V // vt
+
+        def tile_body(carry, t):
+            m, s, lab = carry                  # [B, chunk] f32 each
+            if quant:
+                wq = jax.lax.dynamic_slice_in_dim(w.q, t * vt, vt, axis=1)
+                sc = jax.lax.dynamic_slice_in_dim(w.scale, t * vt, vt,
+                                                  axis=1)
+                lg = jnp.dot(hh, wq.astype(hh.dtype),
+                             preferred_element_type=jnp.float32)
+                lg = lg * sc[0].astype(jnp.float32)
+            elif w is None:
+                wt = jax.lax.dynamic_slice_in_dim(params["embed"], t * vt,
+                                                  vt, axis=0)
+                lg = jnp.dot(hh, wt.T.astype(hh.dtype),
+                             preferred_element_type=jnp.float32)
+            else:
+                wt = jax.lax.dynamic_slice_in_dim(w, t * vt, vt, axis=1)
+                lg = jnp.dot(hh, wt.astype(hh.dtype),
+                             preferred_element_type=jnp.float32)
+            mt = jnp.max(lg, axis=-1)
+            nm = jnp.maximum(m, mt)
+            s = (s * jnp.exp(m - nm)
+                 + jnp.sum(jnp.exp(lg - nm[..., None]), axis=-1))
+            # the label logit of tokens whose label falls in this tile (a
+            # tiny in-tile gather — a column gather of the full int8 head
+            # transposes/copies it as a temp, measured +0.5 GB)
+            local = safe - t * vt
+            in_tile = (local >= 0) & (local < vt)
+            got = jnp.take_along_axis(
+                lg, jnp.clip(local, 0, vt - 1)[..., None], axis=-1)[..., 0]
+            lab = jnp.where(in_tile, got, lab)
+            return (nm, s, lab), None
+
+        init = (jnp.full(ll.shape, -jnp.inf, jnp.float32),
+                jnp.zeros(ll.shape, jnp.float32),
+                jnp.zeros(ll.shape, jnp.float32))
+        (m, s, lab), _ = jax.lax.scan(jax.checkpoint(tile_body), init,
+                                      jnp.arange(nt))
+        nll = m + jnp.log(s) - lab
+        return (jnp.sum(jnp.where(valid, nll, 0.0)),
+                jnp.sum(valid.astype(jnp.int32)))
+
+    body = one_tiled if vocab_tile else one
+    sums, counts = jax.lax.map(jax.checkpoint(body), (hs, ls))
     return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1)
 
 

@@ -220,6 +220,9 @@ def qwen_vit_encode_frames_chunked(
     *,
     hw_full: Tuple[int, int], hw_small: Tuple[int, int],
     chunk: int, remat: bool = False,
+    norm_fn=None,                # applied per chunk (uint8-patch training:
+                                 # keeps only [chunk, P, pd] normalized
+                                 # blocks live instead of the full video)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frame-chunked dual-resolution encode: (x [T,P_full,D], sx [T,P_small,D]).
 
@@ -238,6 +241,8 @@ def qwen_vit_encode_frames_chunked(
 
     def one(args):
         f, s = args                                   # [chunk, P, pd]
+        if norm_fn is not None:
+            f, s = norm_fn(f), norm_fn(s)
         allp = jnp.concatenate([f.reshape(chunk * P_full, pd),
                                 s.reshape(chunk * P_small, pd)], axis=0)
         hidden = qwen_vit_blocks_frames(

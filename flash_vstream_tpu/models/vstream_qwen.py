@@ -83,6 +83,13 @@ def encode_video(
     vit_chunk: int = 0,          # >0: frame-chunked encode (exact; frames
                                  # are independent through the block stack)
     vit_remat: bool = False,     # checkpoint each chunk (training memory)
+    patch_norm=None,             # (scale_pd, shift_pd): patches arrive
+                                 # UINT8 (preprocess.qwen_patchify_u8) and
+                                 # normalize per chunk on device — halves
+                                 # the train step's largest input argument.
+                                 # The low-res temporal pool is linear and
+                                 # affine-preserving, so pooling raw u8
+                                 # then normalizing is the same transform.
 ) -> QwenVisualOutput:
     """Dual-resolution ViT encode + Flash memory + merger for one video.
 
@@ -93,8 +100,22 @@ def encode_video(
     t, h, w = grid
     D = cfg.vit.hidden_size
 
+    norm_fn = None
+    if patch_norm is not None:
+        scale_pd = jnp.asarray(patch_norm[0], jnp.float32)
+        shift_pd = jnp.asarray(patch_norm[1], jnp.float32)
+
+        def norm_fn(p):
+            return (p.astype(jnp.float32) * scale_pd
+                    + shift_pd).astype(jnp.bfloat16)
+
+    # f32 pool for uint8 input: averaging raw 0-255 values in bf16 loses
+    # mantissa bits (integer sums pass 256), a measured 4e-3 mean drift in
+    # the final embeds; the small stream is cheap enough to pool in f32
+    pool_in = (patches.astype(jnp.float32)
+               if patches.dtype == jnp.uint8 else patches)
     small, small_grid = qwen_temporal_pool(
-        patches, grid, cfg.vit.patch_size, cfg.vit.temporal_patch_size,
+        pool_in, grid, cfg.vit.patch_size, cfg.vit.temporal_patch_size,
         cfg.vit.in_channels)
     chunk = min(vit_chunk, t) if vit_chunk else 0
     while chunk > 1 and t % chunk:     # largest divisor of t <= vit_chunk
@@ -107,8 +128,10 @@ def encode_video(
             patches.reshape(t, h * w, pd),
             small.reshape(t, small_grid[1] * small_grid[2], pd),
             hw_full=(h, w), hw_small=(small_grid[1], small_grid[2]),
-            chunk=chunk, remat=vit_remat)
+            chunk=chunk, remat=vit_remat, norm_fn=norm_fn)
     else:
+        if norm_fn is not None:
+            patches, small = norm_fn(patches), norm_fn(small)
         all_patches = jnp.concatenate([patches, small], axis=0)
         # attention is block-diagonal per temporal frame, so the
         # uniform-grid encoder batches frames instead of masking a padded

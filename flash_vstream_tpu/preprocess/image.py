@@ -184,6 +184,42 @@ def qwen_patchify(frames: np.ndarray, patch_size: int = 14,
     return x.reshape(t * h * w, C * tp * ps * ps), (t, h, w)
 
 
+def qwen_patchify_u8(frames_u8: np.ndarray, patch_size: int = 14,
+                     temporal_patch_size: int = 2, merge_size: int = 2
+                     ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """uint8 frames [T, H, W, 3] -> UNNORMALIZED uint8 patch rows in the
+    same Qwen window layout as qwen_patchify (a pure index permutation —
+    no arithmetic, so it is bit-exact and commutes with normalization).
+
+    Training memory lever: the [t*h*w, 1176] patches are the train step's
+    input argument; uint8 halves it vs bf16 (269 MB at 240 frames @448 px)
+    and quarters the host->device transfer. Pair with qwen_patch_norm's
+    per-element affine, applied per ViT chunk ON DEVICE
+    (models/vstream_qwen.encode_video patch_norm=...)."""
+    T, H, W, C = frames_u8.shape
+    tp, ps, m = temporal_patch_size, patch_size, merge_size
+    x = frames_u8.transpose(0, 3, 1, 2)               # [T, C, H, W]
+    if T % tp:
+        x = np.concatenate([x, x[-1:].repeat(tp - T % tp, 0)])
+        T = x.shape[0]
+    t, h, w = T // tp, H // ps, W // ps
+    x = x.reshape(t, tp, C, h // m, m, ps, w // m, m, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(t * h * w, C * tp * ps * ps), (t, h, w)
+
+
+def qwen_patch_norm(patch_size: int = 14, temporal_patch_size: int = 2,
+                    channels: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """(scale_pd, shift_pd) f32 vectors over the patch feature dim such that
+    normalized = u8 * scale + shift reproduces ((u8/255) - mean) / std.
+    The pd layout is [C, tp, ps, ps] (qwen_patchify), so the per-channel
+    CLIP constants broadcast as repeats of tp*ps*ps."""
+    rep = temporal_patch_size * patch_size * patch_size
+    scale = np.repeat(1.0 / (255.0 * OPENAI_CLIP_STD), rep)
+    shift = np.repeat(-OPENAI_CLIP_MEAN / OPENAI_CLIP_STD, rep)
+    return scale.astype(np.float32), shift.astype(np.float32)
+
+
 def qwen_device_preprocess(frames_u8, patch_size: int = 14,
                            temporal_patch_size: int = 2, merge_size: int = 2):
     """Device-side fused preprocess: uint8 frames [T, H, W, 3] -> normalized

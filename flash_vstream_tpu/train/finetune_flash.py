@@ -242,6 +242,12 @@ def run_training(args) -> dict:
             # arrives as a jit ARGUMENT via the trainer's frozen tree —
             # closing over it would capture the full model as HLO constants
             # (gigabytes of serialization per compile; see CLAUDE.md)
+            # mixed-precision LoRA: f32 master adapters (Adam state) but
+            # bf16 factors in the model, keeping the decoder backward's
+            # cotangent chains bf16 (~0.9 GB of f32 temps at 240f/448px/12k
+            # otherwise — measured by AOT memory_analysis)
+            lora_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), lora_params)
             eff = lora_views(base, lora_params, alpha=alpha, rank=rank)
             from ..models.vstream_qwen import encode_video
             # frame-chunked + checkpointed ViT: at real shapes (240 frames
@@ -258,17 +264,21 @@ def run_training(args) -> dict:
                 embeds[:, :start],
                 vis.video_embeds[None].astype(embeds.dtype),
                 embeds[:, start + n_vis:]], axis=1)
+            # group 4 + mlp chunk 1024: the peak-minimizing remat settings
+            # from the AOT memory_analysis sweep at production shapes
             h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
                                    segment_ids=seg[None], remat=True,
-                                   mlp_seq_chunk=2048 if max_len >= 8192
+                                   mlp_seq_chunk=1024 if max_len >= 8192
                                    else 0,
-                                   remat_group=2 if max_len >= 8192 else 1)
+                                   remat_group=4 if max_len >= 8192 else 1)
             if max_len * cfg.llm.vocab_size > 1 << 26:
                 # production shapes (14k x 152k vocab): full f32 logits are
-                # 8.5 GB — chunked CE keeps one [2048, vocab] block live
+                # 8.5 GB — chunked CE keeps one [chunk, vocab] block live,
+                # and int8 (QLoRA) heads additionally tile the vocab axis
+                # so the bf16 dequant of the head never materializes
                 from ..models.llm import cross_entropy_loss_chunked
                 return cross_entropy_loss_chunked(eff["llm"], cfg.llm, h,
-                                                  labels[None])
+                                                  labels[None], chunk=512)
             logits = lm_head(eff["llm"], cfg.llm, h)
             return cross_entropy_loss(logits, labels[None])
 

@@ -181,19 +181,32 @@ class Trainer:
             # batch leaves: [accum, per_step_batch, ...]
             batch = shard_batch(batch)
 
-            def micro(carry, mb):
-                acc, key = carry
-                key, sub = jax.random.split(key)
+            def micro_grads(params, mb, sub):
                 if has_frozen:
-                    loss, grads = jax.value_and_grad(loss_fn)(
-                        params, mb, sub, frozen)
-                else:
-                    loss, grads = jax.value_and_grad(loss_fn)(params, mb, sub)
-                acc = jax.tree.map(lambda a, g: a + g / accum, acc, grads)
-                return (acc, key), loss
+                    return jax.value_and_grad(loss_fn)(params, mb, sub,
+                                                       frozen)
+                return jax.value_and_grad(loss_fn)(params, mb, sub)
 
-            zero = jax.tree.map(jnp.zeros_like, params)
-            (grads, _), losses = jax.lax.scan(micro, (zero, key), batch)
+            if accum == 1:
+                # no accumulator tree: the scan path carries a zeroed
+                # grad-shaped f32 tree plus an add per leaf, which at
+                # production LoRA sizes is ~1 GB of pure overhead on the
+                # peak-memory path
+                _, sub = jax.random.split(key)
+                loss, grads = micro_grads(
+                    params, jax.tree.map(lambda x: x[0], batch), sub)
+                losses = loss[None]
+            else:
+                def micro(carry, mb):
+                    acc, key = carry
+                    key, sub = jax.random.split(key)
+                    loss, grads = micro_grads(params, mb, sub)
+                    acc = jax.tree.map(lambda a, g: a + g / accum, acc,
+                                       grads)
+                    return (acc, key), loss
+
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, _), losses = jax.lax.scan(micro, (zero, key), batch)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, jnp.mean(losses)

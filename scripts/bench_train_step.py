@@ -35,6 +35,17 @@ def main():
                     help="frame-pairs per checkpointed ViT chunk")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU (script logic check)")
+    ap.add_argument("--remat-group", type=int, default=0,
+                    help="decoder remat group size (0 = auto: 2 for long "
+                         "seqs). Larger = fewer saved boundaries but a "
+                         "bigger backward working set")
+    ap.add_argument("--ce-chunk", type=int, default=512)
+    ap.add_argument("--mlp-chunk", type=int, default=0,
+                    help="0 = auto (2048 for long seqs)")
+    ap.add_argument("--memory-analysis", action="store_true",
+                    help="AOT-compile the step and print the XLA HBM "
+                         "breakdown (args/temps/peak) WITHOUT executing — "
+                         "the way to fit a 16 GB budget without OOM loops")
     args = ap.parse_args()
 
     import dataclasses
@@ -101,14 +112,10 @@ def main():
                                   dtype=jnp.bfloat16)
         params["llm"] = build_int8_7b(cfg.llm, jax.random.PRNGKey(1),
                                       jnp.bfloat16)
-        # keep lm_head bf16: the int8 dequant materializes a full bf16 copy
-        # of the [3584, 152064] head as an HLO temp every CE chunk (1 GB)
-        from flash_vstream_tpu.weights.quantize import (QuantWeight,
-                                                        dequantize_weight,
-                                                        quantize_weight)
-        if isinstance(params["llm"].get("lm_head"), QuantWeight):
-            params["llm"]["lm_head"] = dequantize_weight(
-                params["llm"]["lm_head"], jnp.bfloat16)
+        # lm_head stays int8: the vocab-tiled online-LSE CE never
+        # materializes the bf16 head copy (models/llm.py
+        # cross_entropy_loss_chunked vocab_tile)
+        from flash_vstream_tpu.weights.quantize import quantize_weight
         # int8 embedding (row gather + scale): frozen under LoRA, and the
         # bf16 table is 1.09 GB of the argument budget
         params["llm"]["embed"] = quantize_weight(params["llm"]["embed"])
@@ -138,9 +145,19 @@ def main():
     assert start + n_vis < S
 
     def loss_fn(lora_params, batch, key, base):
+        # mixed-precision LoRA: f32 master adapters + f32 Adam moments, but
+        # bf16 factors inside the model so the decoder backward's cotangent
+        # chains stay bf16 (f32 adapters leaked ~0.9 GB of f32 temps into
+        # the 16 GB budget; grads still arrive f32 via the cast's VJP)
+        lora_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                   lora_params)
         eff = lora_views(base, lora_params, alpha=32, rank=args.lora_rank)
+        # uint8 patches normalize per ViT chunk on device: halves the
+        # biggest input argument (269 -> 135 MB at 240f/448px)
+        from flash_vstream_tpu.preprocess.image import qwen_patch_norm
         vis = encode_video(eff, cfg, batch["patches"], grid, key=key,
-                           vit_chunk=args.vit_chunk, vit_remat=True)
+                           vit_chunk=args.vit_chunk, vit_remat=True,
+                           patch_norm=qwen_patch_norm())
         ids = batch["ids"][None]
         embeds = embed_tokens(eff["llm"], ids)
         embeds = jnp.concatenate([
@@ -149,16 +166,20 @@ def main():
             embeds[:, start + n_vis:]], axis=1)
         positions, _ = build_qwen_positions(S, start, n_vis,
                                             vis.visual_positions)
-        h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
-                               remat=True,
-                               mlp_seq_chunk=2048 if S >= 8192 else 0,
-                               remat_group=7 if S >= 8192 else 1)
+        long_seq = S >= 8192
+        # defaults found by AOT memory_analysis sweep at 240f/448px/12k:
+        # group 4 + mlp chunk 1024 minimize peak (15.65 GiB vs 17.5 at the
+        # old group 7 / chunk 2048 / f32-adapter / bf16-head settings)
+        h, _ = decoder_forward(
+            eff["llm"], cfg.llm, embeds, positions, remat=True,
+            mlp_seq_chunk=args.mlp_chunk or (1024 if long_seq else 0),
+            remat_group=args.remat_group or (4 if long_seq else 1))
         if S * cfg.llm.vocab_size > 1 << 26:
             from flash_vstream_tpu.models.llm import (
                 cross_entropy_loss_chunked)
             return cross_entropy_loss_chunked(eff["llm"], cfg.llm, h,
                                               batch["labels"][None],
-                                              chunk=512)
+                                              chunk=args.ce_chunk)
         logits = lm_head(eff["llm"], cfg.llm, h)
         return cross_entropy_loss(logits, batch["labels"][None])
 
@@ -170,15 +191,38 @@ def main():
 
     rng = np.random.default_rng(0)
     batch = {
-        # patches per microbatch: [t*gh*gw, pd]
-        "patches": jnp.asarray(rng.normal(
-            size=(args.accum, t * gh * gw, pd)).astype(np.float32),
-            dtype=jnp.bfloat16),
+        # patches per microbatch: [t*gh*gw, pd] RAW uint8 (window-layout
+        # pixels, preprocess.qwen_patchify_u8); normalization happens per
+        # ViT chunk inside the step
+        "patches": jnp.asarray(rng.integers(
+            0, 256, (args.accum, t * gh * gw, pd), dtype=np.uint8)),
         "ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
                                         (args.accum, S))),
         "labels": jnp.asarray(rng.integers(1, cfg.llm.vocab_size - 1,
                                            (args.accum, S))),
     }
+
+    if args.memory_analysis:
+        key = jax.random.PRNGKey(0)
+        with trainer.mesh:
+            lowered = trainer._train_step.lower(
+                trainer.params, trainer.opt_state, batch, key,
+                trainer.frozen)
+            t0 = time.perf_counter()
+            compiled = lowered.compile()
+            m = compiled.memory_analysis()
+        gb = 1 << 30
+        print(json.dumps({
+            "metric": f"train_step_{args.arch}_memory",
+            "frames": args.frames, "seq": S, "grad_accum": args.accum,
+            "argument_gb": round(m.argument_size_in_bytes / gb, 2),
+            "output_gb": round(m.output_size_in_bytes / gb, 2),
+            "temp_gb": round(m.temp_size_in_bytes / gb, 2),
+            "peak_gb": round((m.argument_size_in_bytes
+                              + m.temp_size_in_bytes) / gb, 2),
+            "compile_s": round(time.perf_counter() - t0, 1),
+        }))
+        return
 
     t0 = time.perf_counter()
     trainer.run_step(batch, jax.random.PRNGKey(0))

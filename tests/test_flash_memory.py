@@ -179,3 +179,62 @@ def test_vit_chunked_encode_matches_monolithic():
         out = encode_video(params, cfg, patches, (t, h, w), key=key, **kw)
         assert out.video_embeds.shape == mono.video_embeds.shape
         assert np.isfinite(np.asarray(out.video_embeds)).all()
+
+
+def test_encode_video_uint8_patches_match_host_normalized():
+    """uint8 patches + per-chunk device normalization (patch_norm) ==
+    host-normalized float patches, chunked AND monolithic: qwen_patchify_u8
+    is a pure index permutation and the temporal pool is affine-preserving,
+    so normalize-late is the same transform (training halves its biggest
+    input argument this way)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.vstream_qwen import (encode_video,
+                                                       init_qwen_params)
+    from flash_vstream_tpu.preprocess.image import (OPENAI_CLIP_MEAN,
+                                                    OPENAI_CLIP_STD,
+                                                    qwen_patch_norm,
+                                                    qwen_patchify,
+                                                    qwen_patchify_u8)
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    T, H, W = 4, 4 * 14, 8 * 14
+    frames_u8 = rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8)
+
+    # host-normalized reference patches (the qwen_preprocess pipeline)
+    fl = frames_u8.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    fl = ((fl - OPENAI_CLIP_MEAN[:, None, None])
+          / OPENAI_CLIP_STD[:, None, None])
+    ref_patches, grid = qwen_patchify(fl)
+
+    u8_patches, grid_u8 = qwen_patchify_u8(frames_u8)
+    assert grid_u8 == grid
+    # the permutation itself is bit-exact: normalizing the u8 rows on the
+    # feature dim reproduces the host-normalized rows
+    sc, sh = qwen_patch_norm()
+    np.testing.assert_allclose(u8_patches.astype(np.float32) * sc + sh,
+                               ref_patches, rtol=1e-5, atol=1e-5)
+
+    key = jax.random.PRNGKey(1)
+    # patch_norm rounds normalized patches to bf16 before the ViT (the
+    # production dtype); round the reference input the same way so the
+    # comparison isolates WHERE the affine runs, not bf16 quantization
+    ref_bf16 = jnp.asarray(ref_patches, jnp.bfloat16).astype(jnp.float32)
+    want = encode_video(params, cfg, ref_bf16, grid, key=key)
+    for kw in (dict(), dict(vit_chunk=1, vit_remat=True)):
+        got = encode_video(params, cfg, jnp.asarray(u8_patches), grid,
+                           key=key, patch_norm=(sc, sh), **kw)
+        diff = np.abs(np.asarray(got.video_embeds, np.float32)
+                      - np.asarray(want.video_embeds, np.float32))
+        # the affine identity is exact (asserted at 1e-5 on the patch rows
+        # above); the encode comparison only sanity-checks integration.
+        # Residual diff is bf16 rounding LOCATION (the u8 path rounds after
+        # the pool, the host path before) carried through k-means
+        # consolidation — observed mean ~4e-3, max ~2.4e-2
+        assert np.mean(diff) < 1e-2, np.mean(diff)
+        assert np.max(diff) < 8e-2, np.max(diff)
+        np.testing.assert_array_equal(np.asarray(got.visual_positions),
+                                      np.asarray(want.visual_positions))

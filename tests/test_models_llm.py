@@ -221,6 +221,54 @@ def test_cross_entropy_chunked_matches_full():
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gf),
                                rtol=1e-5, atol=1e-6)
 
+    # vocab-tiled online-LSE path (incl. a tile that does not divide V):
+    # values AND gradients match the plain path
+    def tiled(params, h):
+        return cross_entropy_loss_chunked(params, cfg, h, labels, chunk=8,
+                                          vocab_tile=40)
+
+    lt, gt = jax.value_and_grad(tiled, argnums=1)(params, h)
+    np.testing.assert_allclose(float(lt), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gf),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cross_entropy_vocab_tiled_int8_head():
+    """With an int8 QuantWeight lm_head the tiled path (which never
+    dequantizes the full head) == dequantize-then-chunked, values + grads;
+    tiling also auto-enables for QuantWeight heads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flash_vstream_tpu.core.config import LLMConfig
+    from flash_vstream_tpu.models.llm import (cross_entropy_loss_chunked,
+                                              init_llm_params)
+    from flash_vstream_tpu.weights.quantize import (dequantize_weight,
+                                                    quantize_weight)
+    cfg = LLMConfig(vocab_size=96, hidden_size=16, intermediate_size=32,
+                    num_layers=1, num_heads=2, num_kv_heads=2)
+    params = init_llm_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params["lm_head"] = quantize_weight(params["lm_head"])
+    deq = dict(params, lm_head=dequantize_weight(params["lm_head"],
+                                                 jnp.float32))
+    rng = np.random.default_rng(1)
+    B, S = 1, 17
+    h = jnp.asarray(rng.normal(size=(B, S, cfg.hidden_size)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)))
+    labels = labels.at[:, :3].set(-100)
+
+    def ref(h):
+        return cross_entropy_loss_chunked(deq, cfg, h, labels, chunk=8)
+
+    def tiled(h):   # vocab_tile defaults on for QuantWeight heads
+        return cross_entropy_loss_chunked(params, cfg, h, labels, chunk=8)
+
+    lr_, gr = jax.value_and_grad(ref)(h)
+    lt, gt = jax.value_and_grad(tiled)(h)
+    np.testing.assert_allclose(float(lt), float(lr_), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_swiglu_seq_chunk_matches():
     """Sequence-chunked SwiGLU (training memory cap) == monolithic, values
