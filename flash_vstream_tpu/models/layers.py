@@ -92,6 +92,14 @@ def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         else:
             out = jnp.dot(x, w.q.astype(x.dtype))
             out = out * w.scale.astype(out.dtype)
+    elif hasattr(w, "q4"):         # QuantWeight4 (4-bit QLoRA base)
+        # block scales can't factor out of the dot: dequantize to a
+        # transient bf16 tile and let XLA schedule/free it around the
+        # matmul (training matmuls at S >= 4k are compute-bound, so the
+        # extra weight write+read amortizes to noise; the 4x argument-HBM
+        # saving is what fits a 7B QLoRA step on one 16 GB chip)
+        from ..weights.quantize import dequantize_weight4
+        out = jnp.dot(x, dequantize_weight4(w, x.dtype))
     else:
         out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:

@@ -246,6 +246,18 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
     if hasattr(w, "q"):            # int8 embedding: gather rows, then scale
         return (w.q[input_ids].astype(jnp.bfloat16)
                 * w.scale[0].astype(jnp.bfloat16))
+    if hasattr(w, "q4"):           # int4 embedding: gather packed byte rows,
+        # select the row's nibble by parity, sign-extend, block-scale.
+        # Rows pack along the VOCAB axis (quantize_weight4 axis -2), so row
+        # r lives in byte row r//2 (low nibble = even r).
+        byte = w.q4[input_ids // 2].astype(jnp.int8)       # [..., D]
+        lo = (byte << 4) >> 4
+        hi = byte >> 4
+        q = jnp.where((input_ids % 2 == 0)[..., None], lo, hi)
+        nb = w.scale.shape[0]
+        bs = (w.q4.shape[0] * 2) // nb
+        sc = w.scale[input_ids // bs]                      # [..., D]
+        return q.astype(jnp.bfloat16) * sc.astype(jnp.bfloat16)
     return w[input_ids]
 
 
@@ -292,7 +304,8 @@ def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
 
     w = params.get("lm_head")
     quant = w is not None and hasattr(w, "q")
-    if vocab_tile == 0 and quant:
+    quant4 = w is not None and hasattr(w, "q4")
+    if vocab_tile == 0 and (quant or quant4):
         vocab_tile = 8192
     V = cfg.vocab_size
 
@@ -323,6 +336,15 @@ def cross_entropy_loss_chunked(params: dict, cfg: LLMConfig,
                 lg = jnp.dot(hh, wq.astype(hh.dtype),
                              preferred_element_type=jnp.float32)
                 lg = lg * sc[0].astype(jnp.float32)
+            elif quant4:
+                # int4 head: dequantize only the [D, tile] column slice
+                from ..weights.quantize import QuantWeight4, dequantize_weight4
+                q4 = jax.lax.dynamic_slice_in_dim(w.q4, t * vt, vt, axis=1)
+                sc = jax.lax.dynamic_slice_in_dim(w.scale, t * vt, vt, axis=1)
+                lg = jnp.dot(hh,
+                             dequantize_weight4(QuantWeight4(q4, sc),
+                                                hh.dtype),
+                             preferred_element_type=jnp.float32)
             elif w is None:
                 wt = jax.lax.dynamic_slice_in_dim(params["embed"], t * vt,
                                                   vt, axis=0)

@@ -154,7 +154,13 @@ def run_training(args) -> dict:
                 json.loads(args.flash_memory_dict)))
         params = load_qwen_checkpoint(args.model_path, cfg,
                                       dtype=jnp.bfloat16)
-        if args.int8_base:
+        if args.int8_base and args.base_bits == 4:
+            # QLoRA at the reference's base precision (bnb 4-bit +
+            # LoRA): packed int4 with block input scales — what fits the
+            # 240-frame/448px/14k-token production step on one 16 GB chip
+            from ..weights.quantize import quantize_params4
+            params = quantize_params4(params)
+        elif args.int8_base:
             # QLoRA: frozen base in weight-only int8 (the reference's
             # bnb 4/8-bit + LoRA combination); adapters stay bf16/f32
             from ..weights.quantize import quantize_params
@@ -408,6 +414,12 @@ def make_parser():
     p.add_argument("--int8-base", action="store_true",
                    help="QLoRA: quantize the frozen base to weight-only "
                         "int8 (halves base HBM; bnb-bits analog)")
+    p.add_argument("--base-bits", type=int, choices=[4, 8], default=4,
+                   help="with --int8-base: frozen-base precision. 4 "
+                        "(default, reference bnb-4bit parity) = packed "
+                        "int4 block-128 — required headroom for the "
+                        "240-frame production step on one chip; 8 = "
+                        "weight-only int8")
     p.add_argument("--lora-rank", type=int, default=64)
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--learning-rate", type=float, default=8e-4)

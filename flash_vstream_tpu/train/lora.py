@@ -34,14 +34,17 @@ def is_lora_target(path: str, targets: Sequence[str]) -> bool:
 
 
 def _is_weight_leaf(x) -> bool:
-    """Treat int8 QuantWeight as ONE leaf so a quantized base tree adapts
-    the same way a bf16 one does (QLoRA: the reference's bnb 4/8-bit load +
-    peft LoRA, train/train.py:877-894 + 926-942)."""
-    from ..weights.quantize import QuantWeight
-    return isinstance(x, QuantWeight)
+    """Treat int8/int4 Quant weights as ONE leaf so a quantized base tree
+    adapts the same way a bf16 one does (QLoRA: the reference's bnb 4/8-bit
+    load + peft LoRA, train/train.py:877-894 + 926-942)."""
+    from ..weights.quantize import QuantWeight, QuantWeight4
+    return isinstance(x, (QuantWeight, QuantWeight4))
 
 
 def _weight_shape(x):
+    if hasattr(x, "q4"):           # packed pairs along the input axis
+        *lead, half, dout = x.q4.shape
+        return (*lead, half * 2, dout)
     return x.q.shape if hasattr(x, "q") else x.shape
 
 
@@ -127,6 +130,9 @@ def merge_lora(params, lora: Dict[str, dict], alpha: float, rank: int):
         if hasattr(x, "q"):
             from ..weights.quantize import dequantize_weight
             x = dequantize_weight(x, dtype=ab["a"].dtype)
+        elif hasattr(x, "q4"):
+            from ..weights.quantize import dequantize_weight4
+            x = dequantize_weight4(x, dtype=ab["a"].dtype)
         delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * scale
         return x + delta.astype(x.dtype)
 

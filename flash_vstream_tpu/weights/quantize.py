@@ -22,6 +22,22 @@ class QuantWeight(NamedTuple):
     q: jnp.ndarray       # int8, same shape as the original weight
     scale: jnp.ndarray   # f32 [..., 1, dout] per-output-channel
 
+
+class QuantWeight4(NamedTuple):
+    """Packed 4-bit weight (QLoRA base precision — the reference fine-tunes
+    over a bitsandbytes 4-bit base, Flash-VStream-Qwen/finetune_flash.py
+    QLoRA path). Symmetric int4 with per-(input-block, output-channel)
+    scales: 4-bit alone is too coarse per-channel, the block dimension
+    recovers most of nf4's fidelity with multiply-only dequant (no codebook
+    gather on the TPU hot path).
+
+    q4:    uint8 [..., din//2, dout] — input-axis row pairs packed per byte
+           (low nibble = even row 2i, high nibble = odd row 2i+1)
+    scale: f32   [..., nb, dout] — nb input blocks of size din//nb
+    """
+    q4: jnp.ndarray
+    scale: jnp.ndarray
+
 DEFAULT_QUANT_TARGETS = (
     r"layers/attn/w[qkvo]/w$",
     r"layers/mlp/(gate|up|down|fc1|fc2)/w$",
@@ -52,6 +68,62 @@ def quantize_params(params, targets: Sequence[str] = DEFAULT_QUANT_TARGETS):
 
 def dequantize_weight(qw: QuantWeight, dtype=jnp.float32) -> jnp.ndarray:
     return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
+
+
+def _block_size4(din: int, block: int) -> int:
+    """Largest EVEN divisor of din <= block (pairs pack within a block)."""
+    bs = min(block, din)
+    while bs > 2 and (din % bs or bs % 2):
+        bs -= 1
+    return bs
+
+
+def quantize_weight4(w: jnp.ndarray, block: int = 128) -> QuantWeight4:
+    """Symmetric int4 ([-7, 7]) over input blocks x output channels."""
+    *lead, din, dout = w.shape
+    bs = _block_size4(din, block)
+    nb = din // bs
+    wf = w.astype(jnp.float32).reshape(*lead, nb, bs, dout)
+    amax = jnp.max(jnp.abs(wf), axis=-2)                     # [..., nb, dout]
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
+    q = q.reshape(*lead, din, dout).astype(jnp.int8)
+    lo = q[..., 0::2, :] & 0xF                               # two's complement
+    hi = q[..., 1::2, :] & 0xF
+    return QuantWeight4((lo | (hi << 4)).astype(jnp.uint8), scale)
+
+
+def unpack_weight4(qw: QuantWeight4) -> jnp.ndarray:
+    """Packed nibbles -> int8 [..., din, dout] in [-7, 7] (sign-extended
+    with arithmetic shifts — no gather, fuses into the dequant multiply)."""
+    b = qw.q4.astype(jnp.int8)
+    lo = (b << 4) >> 4                     # low nibble, sign-extended
+    hi = b >> 4                            # high nibble (arithmetic shift)
+    *lead, half, dout = qw.q4.shape
+    inter = jnp.stack([lo, hi], axis=-2)   # [..., half, 2, dout]
+    return inter.reshape(*lead, half * 2, dout)
+
+
+def dequantize_weight4(qw: QuantWeight4, dtype=jnp.bfloat16) -> jnp.ndarray:
+    *lead, nb, dout = qw.scale.shape
+    q = unpack_weight4(qw)
+    din = q.shape[-2]
+    q = q.reshape(*lead, nb, din // nb, dout).astype(jnp.float32)
+    w = q * qw.scale[..., :, None, :]
+    return w.reshape(*lead, din, dout).astype(dtype)
+
+
+def quantize_params4(params, targets: Sequence[str] = DEFAULT_QUANT_TARGETS,
+                     block: int = 128):
+    """4-bit variant of quantize_params: targeted >=2D weights with an EVEN
+    input dim become QuantWeight4 (others pass through untouched)."""
+    def one(path, x):
+        p = path_str(path)
+        if (getattr(x, "ndim", 0) >= 2 and x.shape[-2] % 2 == 0
+                and any(re.search(t, p) for t in targets)):
+            return quantize_weight4(x, block=block)
+        return x
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def enable_w8a8_prefill(on: bool = True):

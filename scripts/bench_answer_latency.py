@@ -22,22 +22,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_int8_7b(cfg, key, dtype):
+def build_int8_7b(cfg, key, dtype, bits: int = 8):
     import jax
     import jax.numpy as jnp
 
-    from flash_vstream_tpu.weights.quantize import QuantWeight
+    from flash_vstream_tpu.weights.quantize import QuantWeight, QuantWeight4
 
     D, I, Dh = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
     Hq, Hkv, L = cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
     keys = iter(jax.random.split(key, 16))
 
     def qw(din, dout, bias):
-        q = jax.jit(lambda k: jax.random.randint(
-            k, (L, din, dout), -127, 128, jnp.int8))(next(keys))
-        scale = jnp.full((L, 1, dout), 1.0 / (127.0 * np.sqrt(din)),
-                         jnp.float32)
-        p = {"w": QuantWeight(q, scale)}
+        if bits == 4:
+            # QLoRA base precision: packed int4, block-128 input scales
+            nb = max(din // 128, 1)
+            q4 = jax.jit(lambda k: jax.random.randint(
+                k, (L, din // 2, dout), 0, 256, jnp.uint8))(next(keys))
+            scale = jnp.full((L, nb, dout), 1.0 / (7.0 * np.sqrt(din)),
+                             jnp.float32)
+            p = {"w": QuantWeight4(q4, scale)}
+        else:
+            q = jax.jit(lambda k: jax.random.randint(
+                k, (L, din, dout), -127, 128, jnp.int8))(next(keys))
+            scale = jnp.full((L, 1, dout), 1.0 / (127.0 * np.sqrt(din)),
+                             jnp.float32)
+            p = {"w": QuantWeight(q, scale)}
         if bias:
             p["b"] = jnp.zeros((L, dout), dtype)
         return p
@@ -62,11 +71,18 @@ def build_int8_7b(cfg, key, dtype):
         },
         "final_norm": jnp.ones((D,), dtype),
     }
-    lm = jax.jit(lambda k: jax.random.randint(
-        k, (D, cfg.vocab_size), -127, 128, jnp.int8))(next(keys))
-    params["lm_head"] = QuantWeight(
-        lm, jnp.full((1, cfg.vocab_size), 1.0 / (127.0 * np.sqrt(D)),
-                     jnp.float32))
+    if bits == 4:
+        lm = jax.jit(lambda k: jax.random.randint(
+            k, (D // 2, cfg.vocab_size), 0, 256, jnp.uint8))(next(keys))
+        params["lm_head"] = QuantWeight4(
+            lm, jnp.full((max(D // 128, 1), cfg.vocab_size),
+                         1.0 / (7.0 * np.sqrt(D)), jnp.float32))
+    else:
+        lm = jax.jit(lambda k: jax.random.randint(
+            k, (D, cfg.vocab_size), -127, 128, jnp.int8))(next(keys))
+        params["lm_head"] = QuantWeight(
+            lm, jnp.full((1, cfg.vocab_size), 1.0 / (127.0 * np.sqrt(D)),
+                         jnp.float32))
     return params
 
 

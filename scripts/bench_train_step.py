@@ -46,6 +46,11 @@ def main():
                     help="AOT-compile the step and print the XLA HBM "
                          "breakdown (args/temps/peak) WITHOUT executing — "
                          "the way to fit a 16 GB budget without OOM loops")
+    ap.add_argument("--base-bits", type=int, choices=[4, 8], default=4,
+                    help="frozen-base precision for --arch 7b. 4 (default) "
+                         "= packed int4, QLoRA parity with the reference's "
+                         "bnb 4-bit base — an int8 base peaks at 15.8 GiB, "
+                         "above the ~15.2 GiB the runtime actually grants")
     args = ap.parse_args()
 
     import dataclasses
@@ -111,22 +116,32 @@ def main():
                                   cfg.replace(llm=tiny_llm),
                                   dtype=jnp.bfloat16)
         params["llm"] = build_int8_7b(cfg.llm, jax.random.PRNGKey(1),
-                                      jnp.bfloat16)
-        # lm_head stays int8: the vocab-tiled online-LSE CE never
+                                      jnp.bfloat16, bits=args.base_bits)
+        # lm_head stays quantized: the vocab-tiled online-LSE CE never
         # materializes the bf16 head copy (models/llm.py
         # cross_entropy_loss_chunked vocab_tile)
-        from flash_vstream_tpu.weights.quantize import quantize_weight
-        # int8 embedding (row gather + scale): frozen under LoRA, and the
-        # bf16 table is 1.09 GB of the argument budget
-        params["llm"]["embed"] = quantize_weight(params["llm"]["embed"])
-        # int8 ViT: the tower is frozen under LoRA (reference excludes it
-        # from LoRA targets, finetune_flash.py:544-554) — QLoRA treatment
-        # halves another 1.26 GB of arguments
-        from flash_vstream_tpu.weights.quantize import quantize_params
-        params["vit"] = quantize_params(
-            params["vit"], targets=(r"layers/attn/w[qkvo]/w$",
-                                    r"layers/mlp/fc[12]/w$",
-                                    r"merger/fc[12]/w$"))
+        # quantized embedding (gather-time dequant): frozen under LoRA, and
+        # the bf16 table is 1.09 GB of the argument budget (int8 0.54,
+        # int4 0.27)
+        if args.base_bits == 4:
+            from flash_vstream_tpu.weights.quantize import quantize_weight4
+            params["llm"]["embed"] = quantize_weight4(params["llm"]["embed"])
+        else:
+            from flash_vstream_tpu.weights.quantize import quantize_weight
+            params["llm"]["embed"] = quantize_weight(params["llm"]["embed"])
+        # quantized ViT: the tower is frozen under LoRA (reference excludes
+        # it from LoRA targets, finetune_flash.py:544-554) — QLoRA treatment
+        # shrinks another 1.26 GB (bf16) of arguments by 2-4x
+        vit_targets = (r"layers/attn/w[qkvo]/w$", r"layers/mlp/fc[12]/w$",
+                       r"merger/fc[12]/w$")
+        if args.base_bits == 4:
+            from flash_vstream_tpu.weights.quantize import quantize_params4
+            params["vit"] = quantize_params4(params["vit"],
+                                             targets=vit_targets)
+        else:
+            from flash_vstream_tpu.weights.quantize import quantize_params
+            params["vit"] = quantize_params(params["vit"],
+                                            targets=vit_targets)
     else:
         params = init_qwen_params(jax.random.PRNGKey(0), cfg,
                                   dtype=jnp.bfloat16)
@@ -214,10 +229,16 @@ def main():
         gb = 1 << 30
         print(json.dumps({
             "metric": f"train_step_{args.arch}_memory",
+            "base_bits": args.base_bits if args.arch == "7b" else 16,
             "frames": args.frames, "seq": S, "grad_accum": args.accum,
             "argument_gb": round(m.argument_size_in_bytes / gb, 2),
             "output_gb": round(m.output_size_in_bytes / gb, 2),
             "temp_gb": round(m.temp_size_in_bytes / gb, 2),
+            "alias_gb": round(getattr(m, "alias_size_in_bytes", 0) / gb, 2),
+            # TPU program code occupies HBM alongside buffers — a large
+            # scanned/unrolled program eats real gigabytes of the budget
+            "code_gb": round(getattr(m, "generated_code_size_in_bytes", 0)
+                             / gb, 2),
             "peak_gb": round((m.argument_size_in_bytes
                               + m.temp_size_in_bytes) / gb, 2),
             "compile_s": round(time.perf_counter() - t0, 1),
@@ -236,6 +257,7 @@ def main():
     tok_per_step = args.accum * S
     print(json.dumps({
         "metric": f"train_step_{args.arch}_lora",
+        "base_bits": args.base_bits if args.arch == "7b" else 16,
         "frames": args.frames, "seq": S, "grad_accum": args.accum,
         "visual_tokens": int(n_vis),
         "step_p50_s": round(p50, 3),

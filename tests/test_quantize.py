@@ -120,3 +120,126 @@ def test_quantized_qwen_pipeline_e2e(rng):
     pipe_f = QwenPipeline(params, cfg, make_byte_qwen_tokenizer(), max_len=1024)
     out_f = pipe_f.answer(frames, "What?", gen=GenerationConfig(max_new_tokens=6))
     assert isinstance(out_f, str)
+
+
+# ---------------------------------------------------------------------------
+# int4 (QLoRA base precision; reference trains over a bnb 4-bit base)
+# ---------------------------------------------------------------------------
+
+def test_quantize4_roundtrip(rng):
+    """Packed int4 with per-(block, out-channel) scales: error bounded by
+    half a quantization step of the BLOCK scale, incl. leading layer dims
+    and a non-power-of-two input dim (1176 -> even divisor blocks)."""
+    from flash_vstream_tpu.weights.quantize import (dequantize_weight4,
+                                                    quantize_weight4)
+    for shape, block in (((2, 256, 48), 128), ((1176, 16), 128),
+                         ((64, 24), 16)):
+        w = rng.normal(size=shape).astype(np.float32)
+        qw = quantize_weight4(jnp.asarray(w), block=block)
+        assert qw.q4.dtype == jnp.uint8
+        assert qw.q4.shape[-2] == shape[-2] // 2
+        nb = qw.scale.shape[-2]
+        assert shape[-2] % nb == 0 and (shape[-2] // nb) % 2 == 0
+        back = np.asarray(dequantize_weight4(qw, jnp.float32))
+        bs = shape[-2] // nb
+        wb = w.reshape(*shape[:-2], nb, bs, shape[-1])
+        eb = np.abs(back.reshape(wb.shape) - wb).max(-2)
+        bound = np.abs(wb).max(-2) / 7.0 * 0.51
+        assert (eb <= bound + 1e-6).all()
+
+
+def test_quantize4_packing_order(rng):
+    """Nibble layout: low = even input row, high = odd input row."""
+    from flash_vstream_tpu.weights.quantize import (quantize_weight4,
+                                                    unpack_weight4)
+    w = rng.normal(size=(8, 4)).astype(np.float32)
+    qw = quantize_weight4(jnp.asarray(w), block=8)
+    q = np.asarray(unpack_weight4(qw))
+    scale = np.asarray(qw.scale)                 # [1, 4]
+    expect = np.clip(np.round(w / scale[0]), -7, 7).astype(np.int8)
+    np.testing.assert_array_equal(q, expect)
+
+
+def test_quantized4_dense_matches(rng):
+    from flash_vstream_tpu.weights.quantize import quantize_weight4
+    x = rng.normal(size=(4, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 16)).astype(np.float32)
+    full = np.asarray(dense(jnp.asarray(x), jnp.asarray(w)))
+    q4out = np.asarray(dense(jnp.asarray(x),
+                             quantize_weight4(jnp.asarray(w), block=32)))
+    rel = np.abs(q4out - full).max() / np.abs(full).max()
+    assert rel < 0.12, rel           # 4-bit: ~16x coarser than int8
+
+
+def test_quantize_params4_targets():
+    from flash_vstream_tpu.weights.quantize import (QuantWeight4,
+                                                    quantize_params4)
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    qp = quantize_params4(params, block=32)
+    assert isinstance(qp["layers"]["attn"]["wq"]["w"], QuantWeight4)
+    assert isinstance(qp["lm_head"], QuantWeight4)
+    assert qp["embed"].dtype == params["embed"].dtype       # untouched
+    assert qp["layers"]["attn_norm"].dtype == jnp.float32   # untouched
+
+
+def test_quantized4_decoder_runs(rng):
+    """Full decoder forward over an int4 base stays close to fp and keeps
+    top-1 agreement on a short prompt (random tiny weights)."""
+    from flash_vstream_tpu.weights.quantize import quantize_params4
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    qp = quantize_params4(params, block=32)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 12)))
+    pos = jnp.arange(12)[None]
+    h_full, _ = decoder_forward(params, CFG, embed_tokens(params, ids), pos)
+    h_q, _ = decoder_forward(qp, CFG, embed_tokens(qp, ids), pos)
+    lf = np.asarray(lm_head(params, CFG, h_full))
+    lq = np.asarray(lm_head(qp, CFG, h_q))
+    assert np.isfinite(lq).all()
+    # drift bound only: random-init logits are near-uniform, so top-1
+    # agreement is not a meaningful 4-bit check (int8 asserts it above)
+    assert np.abs(lf - lq).max() < 1.5
+
+
+def test_lora_over_int4_base(rng):
+    """QLoRA-4: adapters init/view/merge over an int4 base tree; the
+    merge-free view trains (grads flow to adapters only)."""
+    from flash_vstream_tpu.train.lora import (init_lora_params, lora_views,
+                                              merge_lora)
+    from flash_vstream_tpu.weights.quantize import quantize_params4
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    base = {"llm": quantize_params4(params, block=32)}
+    lora = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
+    assert "llm/layers/attn/wq/w" in lora
+    a = lora["llm/layers/attn/wq/w"]["a"]
+    assert a.shape == (CFG.num_layers, CFG.hidden_size, 4)
+
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 8)))
+    pos = jnp.arange(8)[None]
+
+    def loss(lp):
+        eff = lora_views(base, lp, alpha=8, rank=4)["llm"]
+        h, _ = decoder_forward(eff, CFG, embed_tokens(eff, ids), pos)
+        return jnp.mean(lm_head(eff, CFG, h) ** 2)
+
+    g = jax.grad(loss)(lora)
+    gb = g["llm/layers/attn/wq/w"]["b"]
+    assert np.isfinite(np.asarray(gb)).all()
+    assert float(jnp.abs(gb).sum()) > 0          # b receives signal via a@b
+    merged = merge_lora(base, lora, alpha=8, rank=4)
+    assert merged["llm"]["layers"]["attn"]["wq"]["w"].shape[-2:] == (
+        CFG.hidden_size, CFG.hidden_size)
+
+
+def test_int4_embed_tokens_matches_dequant(rng):
+    """Gather-time int4 dequant == dequantize-then-gather (both parities,
+    block boundaries)."""
+    from flash_vstream_tpu.weights.quantize import (dequantize_weight4,
+                                                    quantize_weight4)
+    V, D = 64, 8
+    w = rng.normal(size=(V, D)).astype(np.float32) * 0.02
+    qw = quantize_weight4(jnp.asarray(w), block=16)
+    ids = jnp.asarray(rng.integers(0, V, (2, 9)))
+    got = np.asarray(embed_tokens({"embed": qw}, ids), np.float32)
+    full = np.asarray(dequantize_weight4(qw, jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, full[np.asarray(ids)], rtol=1e-2,
+                               atol=1e-4)
