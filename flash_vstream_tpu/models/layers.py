@@ -92,14 +92,28 @@ def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         else:
             out = jnp.dot(x, w.q.astype(x.dtype))
             out = out * w.scale.astype(out.dtype)
-    elif hasattr(w, "q4"):         # QuantWeight4 (4-bit QLoRA base)
-        # block scales can't factor out of the dot: dequantize to a
-        # transient bf16 tile and let XLA schedule/free it around the
-        # matmul (training matmuls at S >= 4k are compute-bound, so the
-        # extra weight write+read amortizes to noise; the 4x argument-HBM
-        # saving is what fits a 7B QLoRA step on one 16 GB chip)
-        from ..weights.quantize import dequantize_weight4
-        out = jnp.dot(x, dequantize_weight4(w, x.dtype))
+    elif hasattr(w, "q4"):         # QuantWeight4 (4-bit base)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        from ..kernels.int4_matmul import int4_matmul, int4_matmul_supported
+        if (w.q4.ndim == 2 and jax.default_backend() == "tpu"
+                and int4_matmul_supported(rows, w.q4.shape[0],
+                                          w.scale.shape[0], w.q4.shape[1])):
+            # decode matvec: Pallas kernel reads the PACKED bytes from HBM
+            # (0.5 B/weight) and unpacks+scales in VMEM — XLA would
+            # materialize the dequantized matrix (19x slower, measured)
+            out = int4_matmul(x.reshape(rows, x.shape[-1]), w.q4, w.scale,
+                              out_dtype=x.dtype)
+            out = out.reshape(*x.shape[:-1], w.q4.shape[-1])
+        else:
+            # prefill/training: block scales can't factor out of the dot, so
+            # dequantize to a transient bf16 tile and let XLA schedule/free
+            # it around the matmul (at S >= 4k the matmul is compute-bound,
+            # so the extra weight write+read amortizes to noise; the 4x
+            # argument-HBM saving is what fits a 7B QLoRA step on one chip)
+            from ..weights.quantize import dequantize_weight4
+            out = jnp.dot(x, dequantize_weight4(w, x.dtype))
     else:
         out = jnp.dot(x, w.astype(x.dtype))
     if b is not None:

@@ -247,13 +247,14 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
         return (w.q[input_ids].astype(jnp.bfloat16)
                 * w.scale[0].astype(jnp.bfloat16))
     if hasattr(w, "q4"):           # int4 embedding: gather packed byte rows,
-        # select the row's nibble by parity, sign-extend, block-scale.
-        # Rows pack along the VOCAB axis (quantize_weight4 axis -2), so row
-        # r lives in byte row r//2 (low nibble = even r).
-        byte = w.q4[input_ids // 2].astype(jnp.int8)       # [..., D]
-        lo = (byte << 4) >> 4
-        hi = byte >> 4
-        q = jnp.where((input_ids % 2 == 0)[..., None], lo, hi)
+        # select the row's biased nibble, unbias, block-scale. Rows pack
+        # along the VOCAB axis (quantize_weight4 axis -2) split-half: row r
+        # lives in byte row r % (V//2) (low nibble for r < V//2, high above).
+        half = w.q4.shape[0]
+        byte = w.q4[input_ids % half]                      # [..., D] uint8
+        lo = (byte & 0xF).astype(jnp.int8) - 8
+        hi = (byte >> 4).astype(jnp.int8) - 8
+        q = jnp.where((input_ids < half)[..., None], lo, hi)
         nb = w.scale.shape[0]
         bs = (w.q4.shape[0] * 2) // nb
         sc = w.scale[input_ids // bs]                      # [..., D]

@@ -31,8 +31,14 @@ class QuantWeight4(NamedTuple):
     recovers most of nf4's fidelity with multiply-only dequant (no codebook
     gather on the TPU hot path).
 
-    q4:    uint8 [..., din//2, dout] — input-axis row pairs packed per byte
-           (low nibble = even row 2i, high nibble = odd row 2i+1)
+    q4:    uint8 [..., din//2, dout] — input-axis rows packed split-half per
+           byte (low nibble = row i, high nibble = row i + din//2): the
+           unpack is a concat, not an interleave, so both the XLA dequant
+           and the Pallas decode-matvec kernel (kernels/int4_matmul.py)
+           avoid any lane shuffle. Nibbles store the BIASED value q+8 in
+           [1, 15] (not two's complement): value = nibble - 8, so the
+           kernel's unpack is mask+convert and the constant bias folds
+           into a per-block correction term instead of a per-element op.
     scale: f32   [..., nb, dout] — nb input blocks of size din//nb
     """
     q4: jnp.ndarray
@@ -87,21 +93,20 @@ def quantize_weight4(w: jnp.ndarray, block: int = 128) -> QuantWeight4:
     amax = jnp.max(jnp.abs(wf), axis=-2)                     # [..., nb, dout]
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
-    q = q.reshape(*lead, din, dout).astype(jnp.int8)
-    lo = q[..., 0::2, :] & 0xF                               # two's complement
-    hi = q[..., 1::2, :] & 0xF
-    return QuantWeight4((lo | (hi << 4)).astype(jnp.uint8), scale)
+    q = (q + 8).reshape(*lead, din, dout).astype(jnp.uint8)  # biased [1, 15]
+    half = din // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
+    return QuantWeight4(lo | (hi << 4), scale)
 
 
 def unpack_weight4(qw: QuantWeight4) -> jnp.ndarray:
-    """Packed nibbles -> int8 [..., din, dout] in [-7, 7] (sign-extended
-    with arithmetic shifts — no gather, fuses into the dequant multiply)."""
-    b = qw.q4.astype(jnp.int8)
-    lo = (b << 4) >> 4                     # low nibble, sign-extended
-    hi = b >> 4                            # high nibble (arithmetic shift)
-    *lead, half, dout = qw.q4.shape
-    inter = jnp.stack([lo, hi], axis=-2)   # [..., half, 2, dout]
-    return inter.reshape(*lead, half * 2, dout)
+    """Packed biased nibbles -> int8 [..., din, dout] in [-7, 7]
+    (split-half packing makes this a concat, not an interleave)."""
+    b = qw.q4
+    lo = (b & 0xF).astype(jnp.int8) - 8
+    hi = (b >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequantize_weight4(qw: QuantWeight4, dtype=jnp.bfloat16) -> jnp.ndarray:

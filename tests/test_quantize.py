@@ -149,7 +149,7 @@ def test_quantize4_roundtrip(rng):
 
 
 def test_quantize4_packing_order(rng):
-    """Nibble layout: low = even input row, high = odd input row."""
+    """Nibble layout: low = row i, high = row i + din//2 (split-half)."""
     from flash_vstream_tpu.weights.quantize import (quantize_weight4,
                                                     unpack_weight4)
     w = rng.normal(size=(8, 4)).astype(np.float32)
@@ -243,3 +243,39 @@ def test_int4_embed_tokens_matches_dequant(rng):
     full = np.asarray(dequantize_weight4(qw, jnp.bfloat16), np.float32)
     np.testing.assert_allclose(got, full[np.asarray(ids)], rtol=1e-2,
                                atol=1e-4)
+
+
+def test_int4_matmul_kernel_matches_dequant(rng):
+    """Pallas decode matvec (packed-byte read + in-VMEM unpack/scale) vs the
+    XLA dequant reference, interpret mode on CPU — covers multi-block
+    scales, both halves of the split-half packing, and B > 1 rows."""
+    from jax.experimental.pallas import tpu as pltpu
+    from flash_vstream_tpu.kernels.int4_matmul import (int4_matmul,
+                                                       int4_matmul_supported)
+    from flash_vstream_tpu.weights.quantize import (dequantize_weight4,
+                                                    quantize_weight4)
+    B, din, dout = 4, 512, 384
+    w = rng.normal(size=(din, dout)).astype(np.float32)
+    qw = quantize_weight4(jnp.asarray(w), block=128)
+    assert int4_matmul_supported(B, qw.q4.shape[0], qw.scale.shape[0], dout)
+    x = jnp.asarray(rng.normal(size=(B, din)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    want = np.asarray(jnp.dot(x, dequantize_weight4(qw, jnp.bfloat16),
+                              preferred_element_type=jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(int4_matmul(x, qw.q4, qw.scale,
+                                     out_dtype=jnp.float32))
+    # the kernel is slightly MORE exact than the reference (integer bf16
+    # dot + f32 block scaling vs dequant rounded to bf16 before the dot),
+    # so the bound is bf16 rounding of the reference, not kernel error
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.25)
+
+
+def test_int4_matmul_support_gate():
+    from flash_vstream_tpu.kernels.int4_matmul import int4_matmul_supported
+    assert int4_matmul_supported(1, 1792, 28, 18944)      # Qwen-7B mlp up
+    assert int4_matmul_supported(8, 9472, 148, 3584)      # mlp down
+    assert int4_matmul_supported(1, 1792, 28, 151936)     # lm_head (blk 128)
+    assert not int4_matmul_supported(64, 1792, 28, 18944)  # prefill rows
+    assert not int4_matmul_supported(1, 1792, 7, 18944)    # odd block count
+    assert not int4_matmul_supported(1, 48, 2, 18944)      # sublane misfit
