@@ -237,15 +237,20 @@ class FlashState(NamedTuple):
 
 def init_flash_state(cfg: FlashMemoryConfig, p_full: int, p_small: int,
                      feat_dim: int, bank_size: int = 1024,
-                     dtype=jnp.float32) -> FlashState:
+                     dtype=jnp.float32,
+                     bank_dtype=jnp.bfloat16) -> FlashState:
+    """CSM cluster centroids keep `dtype` (f32: k-means accumulates), but
+    the frame BANKS store raw ViT features, which are bf16 in production —
+    storing them f32 doubles HBM traffic for the ring-buffer writes, the
+    DAM distance reads, and the spa_x gather for zero information."""
     K = cfg.csm_grid_len
     return FlashState(
         tem_x=jnp.zeros((K, p_small, feat_dim), dtype),
         tem_valid=jnp.zeros((K,), bool),
         tem_weights=jnp.zeros((K,), jnp.float32),
         tem_times=jnp.zeros((K,), jnp.float32),
-        bank=jnp.zeros((bank_size, p_full, feat_dim), dtype),
-        bank_small=jnp.zeros((bank_size, p_small, feat_dim), dtype),
+        bank=jnp.zeros((bank_size, p_full, feat_dim), bank_dtype),
+        bank_small=jnp.zeros((bank_size, p_small, feat_dim), bank_dtype),
         bank_pos=jnp.full((bank_size,), -1, jnp.int32),
         n_frames=jnp.zeros((), jnp.int32),
     )
@@ -274,9 +279,10 @@ def flash_stream_update(
     B = state.bank.shape[0]
     wp = (state.n_frames + new_idx) % B
     sel = new_valid[:, None, None]
-    bank = state.bank.at[wp].set(jnp.where(sel, new_x, state.bank[wp]))
-    bank_small = state.bank_small.at[wp].set(
-        jnp.where(sel, new_small, state.bank_small[wp]))
+    bank = state.bank.at[wp].set(jnp.where(
+        sel, new_x.astype(state.bank.dtype), state.bank[wp]))
+    bank_small = state.bank_small.at[wp].set(jnp.where(
+        sel, new_small.astype(state.bank_small.dtype), state.bank_small[wp]))
     bank_pos = state.bank_pos.at[wp].set(
         jnp.where(new_valid, state.n_frames + new_idx, state.bank_pos[wp]))
 
@@ -355,7 +361,8 @@ def flash_stream_update(
     rank = jnp.minimum(jnp.arange(t_dam), jnp.maximum(n_total, 1) - 1)
     is_short_dam = n_total <= t_dam
     idx = jnp.where(is_short_dam, temporal_order[rank], idx)
-    spa_x = bank[idx]
+    from ..kernels.gather_rows import gather_rows
+    spa_x = gather_rows(bank, idx)
     spa_positions = bank_pos[idx]
 
     out = FlashMemoryOutput(

@@ -37,6 +37,11 @@ def project(params: dict, cfg: ProjectorConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.projector_type == "identity":
         return x
     layers = params["layers"]
+    w0 = layers[0]["w"]
+    if x.dtype == jnp.float32:
+        # STAR memory banks are f32 (clustering numerics); matmul in the
+        # weight dtype — f32 operands run the MXU at 1/4 rate
+        x = x.astype(w0.dtype if hasattr(w0, "dtype") else jnp.bfloat16)
     out = dense(x, layers[0]["w"], layers[0]["b"])
     for lp in layers[1:]:
         out = dense(jax.nn.gelu(out, approximate=False), lp["w"], lp["b"])

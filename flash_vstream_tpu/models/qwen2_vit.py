@@ -263,6 +263,12 @@ def patch_merger(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     x: [S, D] (S multiple of 4, window-contiguous) -> [S/4, out_dim]."""
     m = params["merger"]
     h = layer_norm(x, m["ln_q"]["scale"], m["ln_q"]["bias"], 1e-6)
+    w1 = m["fc1"]["w"]
+    if h.dtype == jnp.float32:
+        # Flash-memory banks are f32 (k-means numerics); matmul in the
+        # weight dtype — f32 operands run the MXU at 1/4 rate (measured
+        # 16.9 ms vs 3.9 for the fused ingest merger on f32 vs bf16 input)
+        h = h.astype(w1.dtype if hasattr(w1, "dtype") else jnp.bfloat16)
     h = h.reshape(-1, h.shape[-1] * 4)
     h = jax.nn.gelu(dense(h, m["fc1"]["w"], m["fc1"]["b"]),
                     approximate=False)

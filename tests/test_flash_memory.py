@@ -238,3 +238,22 @@ def test_encode_video_uint8_patches_match_host_normalized():
         assert np.max(diff) < 8e-2, np.max(diff)
         np.testing.assert_array_equal(np.asarray(got.visual_positions),
                                       np.asarray(want.visual_positions))
+
+
+def test_gather_rows_matches_take(rng):
+    """Pallas row gather (TPU) == jnp.take; on CPU the fallback path runs,
+    and the vmap rule (multi-stream engine) matches per-stream gathers."""
+    import jax
+    import jax.numpy as jnp
+    from flash_vstream_tpu.kernels.gather_rows import gather_rows
+    bank = jnp.asarray(rng.normal(size=(16, 8, 128)).astype(np.float32))
+    idx = jnp.asarray([3, 0, 15, 3, 7])
+    got = jax.jit(gather_rows)(bank, idx)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(bank)[np.asarray(idx)])
+    banks = jnp.stack([bank, bank * 2])
+    idxs = jnp.asarray([[1, 2, 3, 4, 5], [0, 0, 1, 1, 2]])
+    vout = jax.jit(jax.vmap(gather_rows))(banks, idxs)
+    for s in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(vout[s]), np.asarray(banks[s])[np.asarray(idxs[s])])
