@@ -32,7 +32,6 @@ from ..models import vstream_llava, vstream_qwen
 from ..models.flash_memory import (
     FlashState,
     am_rope_visual_positions,
-    cat_spa_tem,
     flash_stream_update,
     init_flash_state,
 )
@@ -442,11 +441,14 @@ class QwenStreamSession:
             sx = hidden[S:S + S_small].reshape(t_clip, self.p_small, D)
             state, out = flash_stream_update(cfg.flash_memory, state, x, sx,
                                              n_new, key)
-            # pre-merge the LLM-ready embeds like embed_new_video_clip
-            # (realtime.py:616-620) so answering is pure memory-IO
-            video_embeds = patch_merger(params["vit"],
-                                        cat_spa_tem(out.spa_x, out.tem_x))
-            return state, (out.spa_positions, out.tem_positions, video_embeds)
+            # snapshot RAW memory rows; the patch merger runs at answer time
+            # inside the assemble/fused jits. The reference pre-merges per
+            # clip (embed_new_video_clip, realtime.py:616-620) but answers
+            # are ~100x rarer and ~30x longer than ingests here, so the
+            # ~4 ms full-capacity merger belongs on the answer side — it
+            # costs ~1% of an answer vs ~25% of the 20 ms ingest budget.
+            return state, (out.spa_positions, out.tem_positions,
+                           out.spa_x, out.tem_x)
 
         self._ingest = jax.jit(ingest, donate_argnums=(1,))
 
@@ -498,16 +500,15 @@ class QwenStreamSession:
         cfg = self.cfg
         fm = cfg.flash_memory
         gh, gw = self.grid_hw
-        n_dam_tok = t_dam * self.p_full // 4
-        n_csm_tok = t_csm * self.p_small // 4
-        n_vis = n_dam_tok + n_csm_tok
-
-        def assemble(params, spa_pos, tem_pos, video_embeds, pre_ids,
+        def assemble(params, spa_pos, tem_pos, spa_x, tem_x, pre_ids,
                      post_ids, q_real):
             from ..models.llm import embed_tokens
-            dam_embeds = video_embeds[:n_dam_tok]
-            csm_embeds = video_embeds[fm.dam_grid_len * self.p_full // 4:][:n_csm_tok]
-            vis = jnp.concatenate([dam_embeds, csm_embeds])
+            # merge only the bucketed t_dam/t_csm slice (snapshots carry
+            # full-capacity raw rows): [n_dam_tok + n_csm_tok, llm] == n_vis
+            D = spa_x.shape[-1]
+            vis = patch_merger(params["vit"], jnp.concatenate([
+                spa_x[:t_dam].reshape(-1, D),
+                tem_x[:t_csm].astype(spa_x.dtype).reshape(-1, D)]))
             vis_pos = am_rope_visual_positions(
                 spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw), (gh // 2, gw // 2))
             dtype = params["llm"]["embed"].dtype
@@ -574,11 +575,11 @@ class QwenStreamSession:
                       h: Optional[dict] = None):
         """(embeds, positions, decode_start, seg_row, last_real_idx) for one
         stream's published snapshot."""
-        spa_pos, tem_pos, video_embeds = snapshot
+        spa_pos, tem_pos, spa_x, tem_x = snapshot
         h = h or self._prompt_host(question, n_frames)
         fn = self._assemble_fn(h["t_dam"], h["t_csm"], h["P"], h["Qb"])
         embeds, positions, decode_start = fn(
-            self.params, spa_pos, tem_pos, video_embeds,
+            self.params, spa_pos, tem_pos, spa_x, tem_x,
             jnp.asarray(h["pre"]), jnp.asarray(h["post_p"]),
             jnp.int32(h["q_real"]))
         return (embeds, positions, decode_start, h["seg_row"],
@@ -599,19 +600,17 @@ class QwenStreamSession:
         cfg = self.cfg
         fm = cfg.flash_memory
         gh, gw = self.grid_hw
-        n_dam_tok = t_dam * self.p_full // 4
-        n_csm_tok = t_csm * self.p_small // 4
         gen_obj = self.generator
         llm = cfg.llm
 
-        def fused(params, spa_pos, tem_pos, video_embeds, pre_ids,
+        def fused(params, spa_pos, tem_pos, spa_x, tem_x, pre_ids,
                   post_ids, q_real, seg_row, last_real, eos_ids):
             from ..models.layers import KVCache
             from ..models.llm import embed_tokens
-            dam_embeds = video_embeds[:n_dam_tok]
-            csm_embeds = video_embeds[
-                fm.dam_grid_len * self.p_full // 4:][:n_csm_tok]
-            vis = jnp.concatenate([dam_embeds, csm_embeds])
+            D = spa_x.shape[-1]
+            vis = patch_merger(params["vit"], jnp.concatenate([
+                spa_x[:t_dam].reshape(-1, D),
+                tem_x[:t_csm].astype(spa_x.dtype).reshape(-1, D)]))
             vis_pos = am_rope_visual_positions(
                 spa_pos[:t_dam], tem_pos[:t_csm], (gh, gw),
                 (gh // 2, gw // 2))
@@ -650,9 +649,9 @@ class QwenStreamSession:
         cache_len = self.generator._active_len(h["S"], gen.max_new_tokens)
         fn = self._answer_fused_fn(h["t_dam"], h["t_csm"], h["P"], h["Qb"],
                                    gen.max_new_tokens, cache_len)
-        spa_pos, tem_pos, video_embeds = snapshot
+        spa_pos, tem_pos, spa_x, tem_x = snapshot
         eos_ids = sorted(set(gen.eos_token_ids))
-        out, n = fn(self.params, spa_pos, tem_pos, video_embeds,
+        out, n = fn(self.params, spa_pos, tem_pos, spa_x, tem_x,
                     jnp.asarray(h["pre"]), jnp.asarray(h["post_p"]),
                     jnp.int32(h["q_real"]), jnp.asarray(h["seg_row"]),
                     jnp.int32(h["last_real"]),

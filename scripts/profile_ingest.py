@@ -182,10 +182,12 @@ def main():
             st, out = flash_stream_update(fm, c["state"], x, sx,
                                           jnp.int32(t_clip),
                                           jax.random.PRNGKey(0))
-            ve = patch_merger(c["vp"], cat_spa_tem(out.spa_x, out.tem_x))
-            return ve
+            # the production ingest snapshots RAW memory rows; the patch
+            # merger runs at answer time (runtime/streaming.py ingest)
+            return (out.spa_positions, out.tem_positions, out.spa_x,
+                    out.tem_x)
         dt = timed_scan(ingest, frames, {"vp": vparams, "state": state},
-                        args.iters, "FULL ingest (pre+vit+mem+merge)",
+                        args.iters, "FULL ingest (pre+vit+mem)",
                         flops_per_iter=vit_flops)
         results["full_ms"] = 1e3 * dt
         results["fps"] = clip / dt

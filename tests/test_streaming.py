@@ -207,3 +207,33 @@ def test_session_speculative_matches_fused():
                        dataclasses.replace(gen, speculative_k=3,
                                            speculative_ngram=2))
     assert spec == base, (spec, base)
+
+
+def test_answer_time_merge_matches_full_capacity_merge():
+    """Lazy answer-time merge of the bucketed [t_dam, t_csm] slice equals
+    the full-capacity merge-then-slice the ingest used to publish: the
+    patch merger groups contiguous 4-row windows, and p_full/p_small are
+    multiples of 4, so slicing frames commutes with merging."""
+    import jax.numpy as jnp
+    from flash_vstream_tpu.models.flash_memory import cat_spa_tem
+    from flash_vstream_tpu.models.qwen2_vit import patch_merger
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    fm = cfg.flash_memory
+    p_full, p_small, D = 16, 4, cfg.vit.hidden_size
+    rng = np.random.default_rng(0)
+    spa_x = jnp.asarray(rng.normal(size=(fm.dam_grid_len, p_full, D)),
+                        jnp.float32)
+    tem_x = jnp.asarray(rng.normal(size=(fm.csm_grid_len, p_small, D)),
+                        jnp.float32)
+    full = patch_merger(params["vit"], cat_spa_tem(spa_x, tem_x))
+    t_dam, t_csm = max(fm.dam_grid_len // 2, 1), max(fm.csm_grid_len // 2, 1)
+    lazy = patch_merger(params["vit"], jnp.concatenate([
+        spa_x[:t_dam].reshape(-1, D),
+        tem_x[:t_csm].astype(spa_x.dtype).reshape(-1, D)]))
+    n_dam_tok = t_dam * p_full // 4
+    want = np.concatenate([
+        np.asarray(full[:n_dam_tok]),
+        np.asarray(full[fm.dam_grid_len * p_full // 4:][:t_csm * p_small // 4]),
+    ])
+    np.testing.assert_allclose(np.asarray(lazy), want, rtol=2e-5, atol=2e-5)
