@@ -41,6 +41,12 @@ def main():
     )
     dtype = jnp.bfloat16
     params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if os.environ.get("BENCH_INT8_VIT"):
+        # opt-in: weight-only int8 ViT blocks + w8a8 int8xint8 projections
+        from flash_vstream_tpu.weights.quantize import (
+            enable_w8a8_prefill, quantize_params)
+        params = dict(params, vit=quantize_params(params["vit"]))
+        enable_w8a8_prefill()
 
     clip_size = int(os.environ.get("BENCH_CLIP", "8"))       # frames per ingest
     n_clips = int(os.environ.get("BENCH_CLIPS", "30"))
@@ -96,14 +102,16 @@ def main():
                  + 2 * 2 * t_clip * H * hd * (p_full ** 2 + p_small ** 2))
     vit_flops = L * per_layer
     implied_tflops = vit_flops * n_clips / dt / 1e12
+    # int8xint8 MXU runs at 2x the bf16 rate on v5e
+    peak = V5E_BF16_TFLOPS * (2 if os.environ.get("BENCH_INT8_VIT") else 1)
     print(f"sanity: {dt / n_clips * 1e3:.1f} ms/clip of {clip_size} frames, "
           f"ViT ~{vit_flops / 1e12:.2f} TFLOP/clip -> {implied_tflops:.1f} "
-          f"TFLOP/s implied ({100 * implied_tflops / V5E_BF16_TFLOPS:.0f}% "
-          f"of v5e bf16 peak; timing method: host scalar fetch)",
+          f"TFLOP/s implied ({100 * implied_tflops / peak:.0f}% "
+          f"of v5e peak; timing method: host scalar fetch)",
           file=sys.stderr)
-    assert implied_tflops <= V5E_BF16_TFLOPS, (
+    assert implied_tflops <= peak, (
         f"implied {implied_tflops:.0f} TFLOP/s exceeds the v5e peak "
-        f"({V5E_BF16_TFLOPS}) — the timing did not capture device compute")
+        f"({peak}) — the timing did not capture device compute")
 
     baseline = 30.0
     print(json.dumps({

@@ -180,11 +180,15 @@ def qwen_vit_blocks_frames(
     rope_s = vision_rope_angles(pos_s[:, 0], pos_s[:, 1], cfg.head_dim)
 
     def attn_stream(lp, h, rope):
-        # h: [T, P, D] frames-as-batch
+        # h: [T, P, D] frames-as-batch. Projections run over the FLATTENED
+        # [T*P, D] token stream: one big matmul instead of T small ones, and
+        # the row count clears the w8a8 prefill threshold when the ViT is
+        # int8-quantized (layers.dense dispatches on QuantWeight).
         T, P, _ = h.shape
-        q = dense(h, lp["attn"]["wq"]["w"], lp["attn"]["wq"].get("b"))
-        k = dense(h, lp["attn"]["wk"]["w"], lp["attn"]["wk"].get("b"))
-        v = dense(h, lp["attn"]["wv"]["w"], lp["attn"]["wv"].get("b"))
+        hf = h.reshape(T * P, D)
+        q = dense(hf, lp["attn"]["wq"]["w"], lp["attn"]["wq"].get("b"))
+        k = dense(hf, lp["attn"]["wk"]["w"], lp["attn"]["wk"].get("b"))
+        v = dense(hf, lp["attn"]["wv"]["w"], lp["attn"]["wv"].get("b"))
         q = q.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(T, P, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -193,8 +197,9 @@ def qwen_vit_blocks_frames(
         k = apply_rope(k, *rope)
         from ..kernels.flash_attention import flash_attention
         out = flash_attention(q, k, v)
-        out = out.transpose(0, 2, 1, 3).reshape(T, P, D)
-        return dense(out, lp["attn"]["wo"]["w"], lp["attn"]["wo"].get("b"))
+        out = out.transpose(0, 2, 1, 3).reshape(T * P, D)
+        out = dense(out, lp["attn"]["wo"]["w"], lp["attn"]["wo"].get("b"))
+        return out.reshape(T, P, D)
 
     def body(x, lp):
         h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], 1e-6)

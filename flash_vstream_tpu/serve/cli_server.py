@@ -27,6 +27,25 @@ from ..runtime.metrics import MetricMeter, Timer
 from ..utils.logging import build_logger
 
 
+def _apply_quantization(params, args):
+    """Serve-side analogue of the reference's load_8bit/load_4bit loader
+    options (Flash-VStream-LLaVA builder.py:35-44, bitsandbytes): decoder
+    weights become int8 (or block-scaled int4) QuantWeights, optionally the
+    ViT blocks too; --w8a8-prefill additionally runs prefill-scale matmuls
+    as int8xint8 on the MXU (2x bf16 rate)."""
+    from ..weights.quantize import (enable_w8a8_prefill, quantize_params,
+                                    quantize_params4)
+    if getattr(args, "load_4bit", False):
+        params = dict(params, llm=quantize_params4(params["llm"]))
+    elif getattr(args, "load_8bit", False):
+        params = dict(params, llm=quantize_params(params["llm"]))
+    if getattr(args, "int8_vit", False):
+        params = dict(params, vit=quantize_params(params["vit"]))
+    if getattr(args, "w8a8_prefill", False):
+        enable_w8a8_prefill()
+    return params
+
+
 def build_session(args):
     import jax
     import jax.numpy as _jnp
@@ -54,6 +73,7 @@ def build_session(args):
                                           dtype=jnp.bfloat16)
             tokenizer = load_tokenizer(args.model_path)
             frame_hw = (args.frame_size, args.frame_size)
+        params = _apply_quantization(params, args)
         return QwenStreamSession(params, cfg, tokenizer, frame_hw=frame_hw,
                                  clip_size=args.clip_size,
                                  bank_size=args.video_max_frames,
@@ -74,6 +94,7 @@ def build_session(args):
             params = load_llava_checkpoint(args.model_path, cfg,
                                            dtype=jnp.bfloat16)
             tokenizer = load_tokenizer(args.model_path)
+        params = _apply_quantization(params, args)
         return LLaVAStreamSession(params, cfg, tokenizer,
                                   clip_size=args.clip_size,
                                   kv_cache_dtype=kv_dtype)
@@ -279,6 +300,21 @@ def make_parser():
     p.add_argument("--prewarm", action="store_true",
                    help="compile all answer shape buckets before streaming "
                         "(no mid-stream compile stalls)")
+    p.add_argument("--load-8bit", action="store_true",
+                   help="weight-only int8 decoder (reference builder.py "
+                        "load_8bit / bitsandbytes parity; a 7B fits one "
+                        "16 GB chip)")
+    p.add_argument("--load-4bit", action="store_true",
+                   help="block-scaled int4 decoder base (reference "
+                        "load_4bit parity; Pallas packed-byte decode matvec)")
+    p.add_argument("--int8-vit", action="store_true",
+                   help="weight-only int8 ViT blocks (patch merger stays "
+                        "bf16); with --w8a8-prefill the ingest encode runs "
+                        "int8xint8 on the MXU")
+    p.add_argument("--w8a8-prefill", action="store_true",
+                   help="quantize activations per-token to int8 for "
+                        "prefill-scale matmuls over int8 weights (2x MXU "
+                        "rate, slight logit drift)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache with per-position scales (halves "
                         "decode's cache HBM reads)")

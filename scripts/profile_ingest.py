@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--stages", type=str, default="all",
                     help="comma list: pre,vit,mem,merge,full")
+    ap.add_argument("--int8-vit", action="store_true",
+                    help="weight-only int8 ViT blocks + w8a8 (int8xint8 MXU)"
+                         " projections/MLP — the ingest-side analogue of the"
+                         " decoder's --w8a8-prefill")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +93,11 @@ def main():
     dtype = jnp.bfloat16
     params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     vparams = params["vit"]
+    if args.int8_vit:
+        from flash_vstream_tpu.weights.quantize import (
+            enable_w8a8_prefill, quantize_params)
+        vparams = quantize_params(vparams)   # blocks only; merger stays bf16
+        enable_w8a8_prefill()
     vit, fm = cfg.vit, cfg.flash_memory
 
     clip = args.clip

@@ -142,3 +142,38 @@ def test_cli_server_threaded_ingest(tmp_path):
     summary = run_server(args)
     assert summary["frames_ingested"] == 12
     assert len(summary["answers"]) >= 1
+
+
+def test_cli_server_quantized_serve(tmp_path):
+    """--load-8bit/--int8-vit/--w8a8-prefill (reference builder.py
+    load_8bit/load_4bit parity): the quantized session serves end-to-end."""
+    from flash_vstream_tpu.models import layers
+    old = layers.W8A8_PREFILL
+    try:
+        args = make_parser().parse_args([
+            "--model-family", "qwen", "--dry-run",
+            "--load-8bit", "--int8-vit", "--w8a8-prefill", "--kv-int8",
+            "--synthetic-frames", "6", "--clip-size", "2",
+            "--fps", "2", "--play_speed", "0",
+            "--question", "Q?", "--question_interval", "1000",
+            "--max-new-tokens", "4",
+        ])
+        summary = run_server(args)
+        assert summary["frames_ingested"] == 6
+        assert len(summary["answers"]) == 1
+        assert isinstance(summary["answers"][0]["answer"], str)
+    finally:
+        layers.W8A8_PREFILL = old
+
+
+def test_cli_server_4bit_llava(tmp_path):
+    args = make_parser().parse_args([
+        "--model-family", "llava", "--dry-run", "--load-4bit",
+        "--synthetic-frames", "4", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "Q?", "--question_interval", "1000",
+        "--max-new-tokens", "4",
+    ])
+    summary = run_server(args)
+    assert summary["frames_ingested"] == 4
+    assert len(summary["answers"]) == 1

@@ -279,3 +279,71 @@ def test_int4_matmul_support_gate():
     assert not int4_matmul_supported(64, 1792, 28, 18944)  # prefill rows
     assert not int4_matmul_supported(1, 1792, 7, 18944)    # odd block count
     assert not int4_matmul_supported(1, 48, 2, 18944)      # sublane misfit
+
+
+def test_int8_vit_session_and_encode_fidelity(rng):
+    """Opt-in int8 ViT (profile_ingest --int8-vit / BENCH_INT8_VIT): the
+    quantized block stack must (a) leave patch_embed/merger untouched,
+    (b) drive a full session end-to-end, and (c) track the bf16 encode —
+    weight-only int8 and w8a8 both stay highly correlated per token."""
+    import dataclasses
+
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.qwen2_vit import qwen_vit_blocks_frames
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.models import layers
+    from flash_vstream_tpu.preprocess.qwen_processor import (
+        make_byte_qwen_tokenizer)
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    from flash_vstream_tpu.runtime.streaming import QwenStreamSession
+    from flash_vstream_tpu.weights.quantize import (QuantWeight,
+                                                    quantize_params)
+
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    qvit = quantize_params(params["vit"])
+    assert isinstance(qvit["layers"]["attn"]["wq"]["w"], QuantWeight)
+    assert isinstance(qvit["layers"]["mlp"]["fc1"]["w"], QuantWeight)
+    assert not isinstance(qvit["patch_embed"]["w"], QuantWeight)
+    assert not isinstance(qvit["merger"]["fc1"]["w"], QuantWeight)
+
+    t, gh, gw = 2, 8, 8
+    P, Ps = gh * gw, (gh // 2) * (gw // 2)
+    pd = cfg.vit.in_channels * cfg.vit.temporal_patch_size * 14 ** 2
+    patches = jnp.asarray(rng.normal(size=(t * (P + Ps), pd)), jnp.float32)
+    kw = dict(t_full=t, hw_full=(gh, gw), t_small=t, hw_small=(gh//2, gw//2))
+    ref = np.asarray(qwen_vit_blocks_frames(params["vit"], cfg.vit,
+                                            patches, **kw), np.float32)
+
+    def cos(a, b):
+        num = (a * b).sum(-1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        return (num / den).mean()
+
+    got = np.asarray(qwen_vit_blocks_frames(qvit, cfg.vit, patches, **kw),
+                     np.float32)
+    assert cos(got, ref) > 0.995, cos(got, ref)
+
+    old = layers.W8A8_PREFILL
+    try:
+        layers.W8A8_PREFILL = True
+        got8 = np.asarray(qwen_vit_blocks_frames(qvit, cfg.vit, patches,
+                                                 **kw), np.float32)
+        assert cos(got8, ref) > 0.99, cos(got8, ref)
+
+        # end-to-end: a session over the quantized tower answers finitely
+        qparams = dict(params, vit=qvit)
+        sess = QwenStreamSession(qparams, cfg, make_byte_qwen_tokenizer(),
+                                 frame_hw=(56, 56), clip_size=2,
+                                 bank_size=16, max_len=512)
+        frames = [np.asarray(rng.integers(0, 255, (56, 56, 3)), np.uint8)
+                  for _ in range(2)]
+        for _ in range(3):
+            sess.ingest_frames(frames)
+        sess.block_until_ingested()
+        assert bool(jnp.isfinite(
+            sess.state.tem_x.astype(jnp.float32)).all())
+        out = sess.answer("What?", GenerationConfig(max_new_tokens=4))
+        assert isinstance(out, str)
+    finally:
+        layers.W8A8_PREFILL = old
