@@ -90,8 +90,15 @@ def param_shardings(mesh: Mesh, params,
 
 def zero_shardings(mesh: Mesh, params,
                    rules: Sequence[Tuple[str, P]] = LLM_RULES):
-    """ZeRO-style shardings for optimizer moments: like the param sharding,
-    plus the largest free (unsharded, divisible) axis sharded over 'dp'."""
+    """ZeRO-style shardings: like the param sharding, plus the largest free
+    (unsharded, divisible) axis sharded over 'dp'.
+
+    Used for optimizer moments at ZeRO stage 1/2, and for the parameters
+    themselves at stage 3 (FSDP — reference scripts/zero3.json,
+    Qwen deepspeed/zero3_config.json): each device holds 1/dp of every
+    weight and XLA inserts the per-layer all-gather inside the layer scan
+    (gather-on-use) plus reduce-scatter on the grads — the stage-3 schedule
+    DeepSpeed implements by hand."""
     dp = mesh.shape["dp"]
 
     def one(path, x):

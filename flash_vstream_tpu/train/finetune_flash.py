@@ -173,7 +173,7 @@ def run_training(args) -> dict:
         len(items) // args.grad_accum, 1) * args.epochs
     tcfg = dataclasses.replace(
         recipes.qwen_lora(total_steps, args.grad_accum),
-        learning_rate=args.learning_rate)
+        learning_rate=args.learning_rate, zero_stage=args.zero_stage)
 
     lora = init_lora_params(jax.random.PRNGKey(1), params,
                             rank=args.lora_rank, targets=QWEN_TARGETS)
@@ -424,6 +424,11 @@ def make_parser():
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--learning-rate", type=float, default=8e-4)
     p.add_argument("--grad-accum", type=int, default=8)
+    p.add_argument("--zero-stage", type=int, default=2, choices=(1, 2, 3),
+                   help="3 = FSDP (params + frozen base dp-sharded, "
+                        "reference deepspeed/zero3_config.json); LoRA "
+                        "adapters are small, so stage 3 mainly shards the "
+                        "frozen base across the dp mesh")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=240)

@@ -161,8 +161,9 @@ def run_training(args) -> dict:
 
     tcfg = (recipes.llava_pretrain if args.stage == "pretrain"
             else recipes.llava_finetune)(total_steps, args.grad_accum)
+    import dataclasses
+    tcfg = dataclasses.replace(tcfg, zero_stage=args.zero_stage)
     if args.learning_rate:
-        import dataclasses
         tcfg = dataclasses.replace(tcfg, learning_rate=args.learning_rate)
 
     n_mem = sum(star_valid_counts(cfg, args.frame_bucket))
@@ -376,6 +377,10 @@ def make_parser():
     p.add_argument("--profile-steps", type=int, default=3,
                    help="trace window length in steps (with --profile-dir)")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--zero-stage", type=int, default=2, choices=(1, 2, 3),
+                   help="1/2: dp-sharded Adam moments, replicated params "
+                        "(reference zero2.json); 3: FSDP — params dp-sharded"
+                        " too, gathered per layer on use (zero3.json)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--synthetic-raw", action="store_true",
                    help="dry-run on raw frame dirs + images + text instead "

@@ -52,6 +52,13 @@ class TrainConfig:
     # dtype for Adam first moments (None = param dtype). bf16 halves the
     # mu buffers; the variance (nu) always stays f32
     mu_dtype: Optional[str] = None
+    # ZeRO stage (reference scripts/zero{0..3}.json): 1/2 = params
+    # replicated over 'dp', Adam moments dp-sharded (their gather is the
+    # stage-1/2 collective). 3 = FSDP: params AND any frozen tree are also
+    # dp-sharded; XLA all-gathers each layer's weights on use inside the
+    # layer scan and reduce-scatters grads — per-device param memory drops
+    # ~dp-fold at the cost of per-layer gather traffic.
+    zero_stage: int = 2
 
 
 def _label_params(params, cfg: TrainConfig):
@@ -107,14 +114,16 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh or create_mesh(tp=1)
         self.optimizer = make_optimizer(cfg, params)
+        fsdp = cfg.zero_stage >= 3
+        shard_fn = zero_shardings if fsdp else param_shardings
         self.frozen = frozen
         if frozen is not None:
             with self.mesh:
                 self.frozen = jax.jit(
                     lambda p: p,
-                    out_shardings=param_shardings(self.mesh, frozen))(frozen)
+                    out_shardings=shard_fn(self.mesh, frozen))(frozen)
 
-        self.param_sharding = param_shardings(self.mesh, params)
+        self.param_sharding = shard_fn(self.mesh, params)
         opt_state_shape = jax.eval_shape(self.optimizer.init, params)
 
         def opt_sharding_like(tree):

@@ -191,3 +191,52 @@ def test_lora_training(rng):
     assert losses[-1] < losses[0]
     # b starts at zero and moves
     assert float(jnp.abs(tr.params["layers/attn/wq/w"]["b"]).max()) > 0
+
+
+def test_zero3_fsdp_params_sharded_and_loss_matches():
+    """ZeRO stage 3 (reference scripts/zero3.json): params themselves shard
+    over 'dp'; the loss trajectory matches the stage-2 trainer bit-for-bit
+    since sharding only changes layout, not math."""
+    rng = np.random.default_rng(0)
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    mesh = create_mesh(dp=4, tp=2)
+    batches = [make_batch(rng, 2, 4, 16) for _ in range(2)]
+
+    losses = {}
+    for stage in (2, 3):
+        cfg = TrainConfig(learning_rate=1e-3, total_steps=4, grad_accum=2,
+                          zero_stage=stage)
+        tr = Trainer(lm_loss, jax.tree.map(jnp.copy, params), cfg, mesh=mesh)
+        if stage == 3:
+            spec = tr.param_sharding["layers"]["mlp"]["gate"]["w"].spec
+            assert "dp" in spec, spec
+            # per-device shard is 1/dp of the stage-2 (replicated) footprint
+            w = tr.params["layers"]["mlp"]["gate"]["w"]
+            shard_elems = np.prod(w.addressable_shards[0].data.shape)
+            assert shard_elems * mesh.shape["dp"] * mesh.shape["tp"] \
+                <= w.size * mesh.shape["tp"]
+        else:
+            assert "dp" not in (
+                tr.param_sharding["layers"]["mlp"]["gate"]["w"].spec or ())
+        losses[stage] = [tr.run_step(b, jax.random.PRNGKey(7))
+                        for b in batches]
+    np.testing.assert_allclose(losses[3], losses[2], rtol=1e-5)
+
+
+def test_zero3_fsdp_frozen_tree_sharded():
+    """Stage 3 also shards a frozen (LoRA-base-style) tree over dp."""
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    frozen = init_llm_params(jax.random.PRNGKey(1), CFG)
+
+    def loss_with_frozen(p, batch, key, fz):
+        return lm_loss(p, batch, key) + 0.0 * jnp.sum(
+            fz["layers"]["mlp"]["gate"]["w"][0, 0, :1])
+
+    mesh = create_mesh(dp=4, tp=2)
+    cfg = TrainConfig(learning_rate=1e-3, total_steps=2, grad_accum=1,
+                      zero_stage=3)
+    tr = Trainer(loss_with_frozen, params, cfg, mesh=mesh, frozen=frozen)
+    assert "dp" in tr.frozen["layers"]["mlp"]["gate"]["w"].sharding.spec
+    rng = np.random.default_rng(0)
+    loss = tr.run_step(make_batch(rng, 1, 4, 16), jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
