@@ -199,8 +199,11 @@ def _prep(q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv):
 
 def _pallas_flash(q, k, v, q_segment_ids, kv_segment_ids, *,
                   causal: bool, scale: float,
-                  block_q: int = 512, block_kv: int = 1024,
+                  block_q: int = 1024, block_kv: int = 1024,
                   save_stats: bool = False):
+    # default blocks: best of the on-chip sweep at S=8192 H32 D128 causal
+    # (scripts/sweep_attention_blocks.py): 1024x1024 -> 67 TF/s vs 59 for
+    # 512x1024 and 40-48 for smaller tiles; 2048-wide tiles overflow VMEM.
     (B, Hq, Sq, D, Skv, g, block_q, block_kv, use_segments,
      q_segment_ids, kv_segment_ids) = _prep(
         q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv)
@@ -381,7 +384,7 @@ def _flash_bwd_dkv_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _pallas_flash_bwd(q, k, v, o, do, lse, q_segment_ids, kv_segment_ids, *,
                       causal: bool, scale: float,
-                      block_q: int = 512, block_kv: int = 512):
+                      block_q: int = 1024, block_kv: int = 512):
     (B, Hq, Sq, D, Skv, g, block_q, block_kv, use_segments,
      q_segment_ids, kv_segment_ids) = _prep(
         q, k, v, q_segment_ids, kv_segment_ids, block_q, block_kv)
