@@ -83,6 +83,30 @@ def _rope_for(cfg: LLMConfig, positions: jnp.ndarray):
     return rope_angles(positions, cfg.head_dim, cfg.rope_theta)
 
 
+def decoder_block(
+    x: jnp.ndarray,                         # [B, S, D]
+    layer_params: dict,                     # ONE layer's (unstacked) params
+    cfg: LLMConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,
+    mlp_seq_chunk: int = 0,
+) -> jnp.ndarray:
+    """One decoder layer, no-cache path (pre-norm attn + SwiGLU MLP with
+    residuals). The unit decoder_forward scans and parallel/pipeline.py
+    stages; exposed so pipeline stages run exactly the same math."""
+    h = rms_norm(x, layer_params["attn_norm"], cfg.rms_norm_eps)
+    attn_out, _ = mha(
+        layer_params["attn"], h,
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, rope=(cos, sin), causal=True,
+        q_segment_ids=segment_ids, kv_segment_ids=segment_ids)
+    x = x + attn_out
+    h = rms_norm(x, layer_params["mlp_norm"], cfg.rms_norm_eps)
+    return x + swiglu_mlp(layer_params["mlp"], h, seq_chunk=mlp_seq_chunk)
+
+
 def decoder_forward(
     params: dict,
     cfg: LLMConfig,
