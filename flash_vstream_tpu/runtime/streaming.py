@@ -56,6 +56,52 @@ from .generation import GenerationConfig, Generator, trim_stop_strings
 from .metrics import MetricMeter, Timer, force_completion
 
 
+def _save_session_state(session, path: str) -> str:
+    """Persist a stream's memory to disk (orbax): state pytree, the
+    published snapshot, frame count, and step counter.
+
+    Beyond the reference — its streaming memory bank is process-lifetime
+    only, never persisted (SURVEY.md §5.4): killing the server loses the
+    whole stream. Here a live session checkpoints and resumes (answers work
+    immediately from the restored snapshot; jits recompile on first use)."""
+    import os
+
+    import orbax.checkpoint as ocp
+    snap, count = session._published
+    payload = {
+        "state": dict(session.state._asdict()),
+        "meta": {"count": np.int64(count), "step": np.int64(session._step)},
+    }
+    if snap is not None:
+        payload["snapshot"] = [np.asarray(x) for x in
+                               jax.tree_util.tree_leaves(snap)]
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(path, jax.device_get(payload), force=True)
+    return path
+
+
+def _load_session_state(session, path: str, state_cls, snap_builder) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    state = state_cls(**{k: jnp.asarray(v)
+                         for k, v in payload["state"].items()})
+    cur = session.state
+    for name in state._fields:
+        want, got = getattr(cur, name).shape, getattr(state, name).shape
+        assert want == got, (
+            f"restored session state field {name!r} has shape {got}, this "
+            f"session expects {want} — config/bank_size mismatch")
+    session.state = jax.device_put(state)
+    snap = payload.get("snapshot")
+    count = int(payload["meta"]["count"])
+    session._published = (
+        (snap_builder([jnp.asarray(x) for x in snap]), count)
+        if snap is not None else (None, count))
+    session._step = int(payload["meta"]["step"])
+
+
 def bucket_up(real: int, cap: int) -> int:
     """Round a memory length up to one of the shape buckets of `cap`.
 
@@ -188,6 +234,16 @@ class LLaVAStreamSession:
             self.cfg.star, self.cfg.projector.effective_input_dim)
         self._published = (None, 0)
         self._step = 0
+
+    def save_session(self, path: str) -> str:
+        """Checkpoint this stream's memory for resume (beyond the reference,
+        whose bank dies with the process — SURVEY.md §5.4)."""
+        return _save_session_state(self, path)
+
+    def load_session(self, path: str) -> None:
+        from ..models.star_memory import STARMemory, STARState
+        _load_session_state(self, path, STARState,
+                            lambda leaves: STARMemory(*leaves))
 
     @property
     def n_frames(self) -> int:
@@ -483,6 +539,14 @@ class QwenStreamSession:
             self.cfg.vit.hidden_size, bank_size=self._bank_size)
         self._published = (None, 0)
         self._step = 0
+
+    def save_session(self, path: str) -> str:
+        """Checkpoint this stream's memory for resume (beyond the reference,
+        whose bank dies with the process — SURVEY.md §5.4)."""
+        return _save_session_state(self, path)
+
+    def load_session(self, path: str) -> None:
+        _load_session_state(self, path, FlashState, tuple)
 
     @property
     def n_frames(self) -> int:

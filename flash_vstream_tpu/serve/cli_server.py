@@ -155,6 +155,10 @@ def run_server(args) -> dict:
     from ..core.runtime_setup import enable_compilation_cache
     enable_compilation_cache()
     session = build_session(args)
+    if args.resume_session:
+        session.load_session(args.resume_session)
+        logger.info(f"resumed session memory from {args.resume_session} "
+                    f"({session._published[1]} frames already ingested)")
     if args.prewarm:
         prewarm_session(
             session, args,
@@ -268,6 +272,10 @@ def run_server(args) -> dict:
 
     summary = {"frames_ingested": i, "answers": answers,
                "metrics": metrics.as_dict()}
+    if args.save_session:
+        session.block_until_ingested()
+        session.save_session(args.save_session)
+        logger.info(f"saved session memory to {args.save_session}")
     logger.info("metrics:\n" + metrics.summary())
     if args.output_file:
         with open(args.output_file, "w") as f:
@@ -297,6 +305,13 @@ def make_parser():
     p.add_argument("--log_file", type=str, default=None)
     p.add_argument("--output-file", type=str, default=None)
     p.add_argument("--sync-every-clip", action="store_true")
+    p.add_argument("--save-session", type=str, default=None,
+                   help="checkpoint the stream's memory state here at the "
+                        "end (resumable with --resume-session; the "
+                        "reference's bank dies with the process)")
+    p.add_argument("--resume-session", type=str, default=None,
+                   help="restore a previously saved session memory before "
+                        "streaming")
     p.add_argument("--prewarm", action="store_true",
                    help="compile all answer shape buckets before streaming "
                         "(no mid-stream compile stalls)")

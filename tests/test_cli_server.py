@@ -177,3 +177,29 @@ def test_cli_server_4bit_llava(tmp_path):
     summary = run_server(args)
     assert summary["frames_ingested"] == 4
     assert len(summary["answers"]) == 1
+
+
+def test_cli_server_save_and_resume_session(tmp_path):
+    """--save-session / --resume-session round-trip through the CLI: the
+    resumed server starts with the prior stream's memory."""
+    ckpt = str(tmp_path / "stream_ckpt")
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run",
+        "--synthetic-frames", "6", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "Q?", "--question_interval", "1000",
+        "--max-new-tokens", "4", "--save-session", ckpt,
+    ])
+    s1 = run_server(args)
+    assert s1["frames_ingested"] == 6
+
+    args2 = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run",
+        "--synthetic-frames", "2", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "Q?", "--question_interval", "1000",
+        "--max-new-tokens", "4", "--resume-session", ckpt,
+    ])
+    s2 = run_server(args2)
+    assert s2["frames_ingested"] == 2   # this run's frames
+    assert len(s2["answers"]) == 1     # answered over resumed + new memory

@@ -237,3 +237,69 @@ def test_answer_time_merge_matches_full_capacity_merge():
         np.asarray(full[fm.dam_grid_len * p_full // 4:][:t_csm * p_small // 4]),
     ])
     np.testing.assert_allclose(np.asarray(lazy), want, rtol=2e-5, atol=2e-5)
+
+
+def test_qwen_session_save_resume(tmp_path):
+    """Session memory checkpoints and resumes: the restored session answers
+    identically to the original without re-ingesting (beyond the reference,
+    whose streaming bank is process-lifetime only — SURVEY.md §5.4)."""
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    kw = dict(frame_hw=(56, 56), clip_size=2, bank_size=16, max_len=512)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(), **kw)
+    src = SyntheticSource(8, 56, 56)
+    for i in range(0, 8, 2):
+        sess.ingest_frames([src[i], src[i + 1]])
+    sess.block_until_ingested()
+    gen = GenerationConfig(max_new_tokens=6, eos_token_ids=())
+    want = sess.answer("What is shown?", gen)
+    path = str(tmp_path / "sess_ckpt")
+    sess.save_session(path)
+
+    fresh = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(), **kw)
+    fresh.load_session(path)
+    assert int(fresh.state.n_frames) == int(sess.state.n_frames)
+    assert fresh._published[1] == sess._published[1]
+    got = fresh.answer("What is shown?", gen)
+    assert got == want, (got, want)
+    # the restored session keeps streaming
+    fresh.ingest_frames([src[0], src[1]])
+    fresh.block_until_ingested()
+    assert int(fresh.state.n_frames) == int(sess.state.n_frames) + 1
+
+
+def test_llava_session_save_resume(tmp_path, llava_setup):
+    params, cfg = llava_setup
+    kw = dict(clip_size=2, max_len=512)
+    sess = LLaVAStreamSession(params, cfg, ByteTokenizer(), **kw)
+    src = SyntheticSource(6, 112, 112)
+    for i in range(0, 6, 2):
+        sess.ingest_frames([src[i], src[i + 1]])
+    sess.block_until_ingested()
+    gen = GenerationConfig(max_new_tokens=4)
+    want = sess.answer("Q?", gen)
+    path = str(tmp_path / "sess_ckpt")
+    sess.save_session(path)
+
+    fresh = LLaVAStreamSession(params, cfg, ByteTokenizer(), **kw)
+    fresh.load_session(path)
+    got = fresh.answer("Q?", gen)
+    assert got == want, (got, want)
+
+
+def test_session_resume_shape_mismatch_raises(tmp_path):
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=512)
+    src = SyntheticSource(2, 56, 56)
+    sess.ingest_frames([src[0], src[1]])
+    sess.block_until_ingested()
+    path = str(tmp_path / "sess_ckpt")
+    sess.save_session(path)
+    other = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                              frame_hw=(56, 56), clip_size=2, bank_size=32,
+                              max_len=512)
+    with pytest.raises(AssertionError, match="bank_size"):
+        other.load_session(path)
