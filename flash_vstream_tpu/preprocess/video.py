@@ -3,14 +3,14 @@
 The reference decodes mp4 with decord (C++/FFmpeg,
 serve/cli_video_stream.py:143-146, train/train.py:764-780) or reads
 pre-extracted JPEG frame directories (Qwen pipeline,
-scripts/extract_frames.py). This image has no FFmpeg/decord, so the
-first-class sources are:
+scripts/extract_frames.py). Sources here:
 
 - FrameDirSource: %06d.jpg frame directories (the Qwen reference's canonical
   input format)
 - ArraySource / SyntheticSource: ndarray or generated frames (tests, bench)
-- load_video: pluggable registry; mp4 decode can be registered when a decoder
-  is available on the host.
+- load_video: pluggable registry + in-process cv2/FFmpeg decode (decord
+  parity — any codec FFmpeg handles), with a pure-python MJPEG demuxer and
+  an extract-frames fallback chain for hosts without OpenCV.
 
 All sources yield uint8 HWC frames at a target fps.
 """
@@ -136,8 +136,12 @@ def load_video(path: str, fps: float = 1.0,
     1. a registered decoder for the extension (register_video_decoder),
     2. a sibling frame directory (path minus extension) — the documented
        extract-frames-first flow (scripts/extract_frames.py),
-    3. the built-in pure-python MJPEG-in-mp4 demuxer (preprocess/mp4.py),
-    4. auto-extraction to the sibling dir via an `ffmpeg` binary on PATH
+    3. in-process cv2/FFmpeg decode when OpenCV is importable — this is the
+       decord-parity path: any codec FFmpeg decodes (H.264/H.265/VP9/...)
+       works directly on the file, like the reference's
+       decord.VideoReader (cli_video_stream.py:143-146),
+    4. the built-in pure-python MJPEG-in-mp4 demuxer (preprocess/mp4.py),
+    5. auto-extraction to the sibling dir via an `ffmpeg` binary on PATH
        (one-command H.264 flow; cached for later loads).
     H.264 content with none of the above raises with instructions.
     """
@@ -150,10 +154,16 @@ def load_video(path: str, fps: float = 1.0,
             idx = np.linspace(0, len(frames) - 1, max_frames).round().astype(int)
             frames = [frames[i] for i in idx]
         return FrameSource(list(frames), fps)
-    if ext in ("mp4", "mov", "m4v"):
+    if ext in ("mp4", "mov", "m4v", "avi", "mkv", "webm"):
         sibling = os.path.splitext(path)[0]
         if os.path.isdir(sibling):
             return load_frame_dir(sibling, fps=fps, max_frames=max_frames)
+        frames = _decode_cv2(path, fps=fps, max_frames=max_frames)
+        if frames is not None:
+            return FrameSource(frames, fps)
+        if ext not in ("mp4", "mov", "m4v"):
+            raise RuntimeError(
+                f"{path}: .{ext} needs OpenCV (cv2) or a registered decoder.")
         from .mp4 import decode_mjpeg
         try:
             frames = decode_mjpeg(path, fps=fps, max_frames=max_frames)
@@ -179,6 +189,50 @@ def load_video(path: str, fps: float = 1.0,
         f"No decoder registered for .{ext}. This image has no FFmpeg/decord; "
         "pre-extract frames to a directory (scripts/extract_frames.py "
         "equivalent) or register_video_decoder().")
+
+
+def _decode_cv2(path: str, fps: float = 1.0,
+                max_frames: Optional[int] = None) -> Optional[List[np.ndarray]]:
+    """In-process video decode via OpenCV's FFmpeg backend.
+
+    Decord-parity path (the reference decodes any mp4 in-process,
+    serve/cli_video_stream.py:143-146, train/train.py:764-780): subsample the
+    container stream to the target fps with cheap ``grab()`` skips, decoding
+    only the kept frames. Returns None when cv2 is absent or cannot open the
+    file (unsupported codec/corrupt container) so the caller falls through to
+    the MJPEG demuxer / extract-frames chain.
+    """
+    try:
+        import cv2
+    except ImportError:
+        return None
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None
+    try:
+        src_fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        # headers sometimes lie (0/NaN); treat those as already at target fps
+        step = max(int(round(src_fps / fps)), 1) if src_fps > 0 else 1
+        frames: List[np.ndarray] = []
+        i = 0
+        while True:
+            if i % step == 0:
+                ret, frame = cap.read()        # decode kept frames
+                if not ret:
+                    break
+                frames.append(frame[:, :, ::-1].copy())   # BGR -> RGB
+            elif not cap.grab():               # skip without pixel decode
+                break
+            i += 1
+        if not frames:
+            return None
+        if max_frames is not None and len(frames) > max_frames:
+            idx = np.linspace(0, len(frames) - 1,
+                              max_frames).round().astype(int)
+            frames = [frames[j] for j in idx]
+        return frames
+    finally:
+        cap.release()
 
 
 def _extract_frames_ffmpeg(path: str, out_dir: str,

@@ -98,6 +98,10 @@ def _h264_like_mp4(tmp_path):
 def test_load_video_h264_without_ffmpeg_raises(tmp_path, monkeypatch):
     path = _h264_like_mp4(tmp_path)
     import shutil
+
+    from flash_vstream_tpu.preprocess import video as video_mod
+    # simulate a host without OpenCV so the fallback chain is exercised
+    monkeypatch.setattr(video_mod, "_decode_cv2", lambda *a, **k: None)
     monkeypatch.setattr(shutil, "which", lambda name: None)
     with pytest.raises(RuntimeError, match="no ffmpeg"):
         load_video(path)
@@ -109,6 +113,9 @@ def test_load_video_h264_auto_extract(tmp_path, monkeypatch):
     reference decodes any mp4 in-process, cli_video_stream.py:143-146)."""
     import stat
     import sys
+
+    from flash_vstream_tpu.preprocess import video as video_mod
+    monkeypatch.setattr(video_mod, "_decode_cv2", lambda *a, **k: None)
     path = _h264_like_mp4(tmp_path)
     # fake ffmpeg: writes 4 jpgs at the output pattern (last argv)
     bindir = tmp_path / "bin"
@@ -131,3 +138,50 @@ def test_load_video_h264_auto_extract(tmp_path, monkeypatch):
     # cached: the sibling dir now exists, a second load skips extraction
     assert os.path.isdir(str(tmp_path / "clip"))
     assert len(load_video(path)) == 4
+
+
+# ---- in-process cv2/FFmpeg decode (decord-parity path) ----
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_cv2_mp4(path, n=10, fps=10.0, hw=(48, 64)):
+    h, w = hw
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():
+        pytest.skip("cv2 build has no mp4 encoder")
+    for i in range(n):
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[:, :, 2] = min(i * 25, 255)        # BGR: red ramp
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+def test_load_video_cv2_in_process(tmp_path):
+    """Any FFmpeg-decodable mp4 (no MJPEG, no sibling dir) decodes in-process
+    via cv2 — the decord-parity path (reference train/train.py:764-780)."""
+    path = _write_cv2_mp4(str(tmp_path / "clip.mp4"), n=10, fps=10.0)
+    src = load_video(path, fps=10.0)
+    assert len(src) == 10
+    f0, f9 = np.asarray(src[0]), np.asarray(src[9])
+    assert f0.shape == (48, 64, 3)
+    # BGR->RGB swap: the ramp must land in channel 0 (R), not channel 2
+    assert int(f9[:, :, 0].mean()) > 150 > int(f9[:, :, 2].mean())
+
+
+def test_load_video_cv2_fps_subsample(tmp_path):
+    path = _write_cv2_mp4(str(tmp_path / "clip10.mp4"), n=10, fps=10.0)
+    src = load_video(path, fps=5.0)          # keep every 2nd frame
+    assert len(src) == 5
+    src = load_video(path, fps=10.0, max_frames=3)
+    assert len(src) == 3
+
+
+def test_probe_hw_len_cv2_mp4(tmp_path):
+    from flash_vstream_tpu.preprocess.video import (probe_video_hw,
+                                                    probe_video_len)
+    path = _write_cv2_mp4(str(tmp_path / "probe.mp4"), n=7, fps=10.0)
+    assert probe_video_hw(path) == (48, 64)
+    assert probe_video_len(path) == 7
