@@ -1,0 +1,281 @@
+"""HTTP serving API for streaming video QA (production deployment surface).
+
+The reference serves interactively only (cli_video_stream.py /
+cli_server_2gpu.py read questions from a terminal loop); a production
+deployment needs a network API. This is a stdlib-only JSON-over-HTTP server
+wrapping the streaming sessions (runtime/streaming.py):
+
+    POST   /v1/streams                      {"id"?: str} -> {"id": str}
+    POST   /v1/streams/<id>/frames          body = JPEG bytes
+                                            (Content-Type: image/jpeg) or a
+                                            .npy uint8 [H,W,3] / [N,H,W,3]
+                                            array; frames buffer host-side
+                                            and ingest on clip boundaries
+    POST   /v1/streams/<id>/answer          {"question": str,
+                                             "max_new_tokens"?: int,
+                                             "stream"?: bool}
+                                            -> {"answer": str} or, with
+                                            stream=true, text/event-stream
+                                            token deltas (the TextStreamer
+                                            UX, cli_video_stream.py:292-309)
+    GET    /v1/streams/<id>/metrics         -> MetricMeter snapshot + frames
+    DELETE /v1/streams/<id>                 -> {"deleted": id}
+    GET    /healthz                         -> {"ok": true, "streams": n}
+
+Ingest stays async-dispatch (the device runs ahead of the HTTP thread);
+answers read the atomically-published (snapshot, count) pair, so concurrent
+frame POSTs and answer POSTs on different connections are safe — the same
+invariants the CLI server relies on. One process, one chip; TPU work for
+all streams shares the session jits.
+
+Run: python -m flash_vstream_tpu.serve.http_server --dry-run --port 8080
+(takes every model/quantization flag cli_server does).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class _Stream:
+    """One live stream: a session plus a host-side partial-clip buffer."""
+
+    def __init__(self, session):
+        self.session = session
+        self.buf: List[np.ndarray] = []
+        self.lock = threading.Lock()          # guards buf + ingest order
+        self.n_frames_received = 0
+
+    def add_frames(self, frames: List[np.ndarray], flush: bool = False):
+        with self.lock:
+            self.buf.extend(frames)
+            self.n_frames_received += len(frames)
+            clip = self.session.clip_size
+            while len(self.buf) >= clip:
+                self.session.ingest_frames(self.buf[:clip])
+                self.buf = self.buf[clip:]
+            if flush and self.buf:
+                self.session.ingest_frames(self.buf)   # padded partial clip
+                self.buf = []
+
+
+class StreamServer:
+    """Registry of live streams over one shared model/session factory."""
+
+    def __init__(self, session_factory, max_streams: int = 64):
+        self._factory = session_factory
+        self._streams: Dict[str, _Stream] = {}
+        self._lock = threading.Lock()
+        self._max = max_streams
+
+    def create(self, stream_id: Optional[str] = None) -> str:
+        sid = stream_id or uuid.uuid4().hex[:12]
+        with self._lock:
+            if sid in self._streams:
+                raise KeyError(f"stream {sid!r} already exists")
+            if len(self._streams) >= self._max:
+                raise RuntimeError(f"max_streams={self._max} reached")
+            self._streams[sid] = _Stream(self._factory())
+        return sid
+
+    def get(self, sid: str) -> _Stream:
+        with self._lock:
+            if sid not in self._streams:
+                raise KeyError(f"unknown stream {sid!r}")
+            return self._streams[sid]
+
+    def delete(self, sid: str):
+        with self._lock:
+            if sid not in self._streams:
+                raise KeyError(f"unknown stream {sid!r}")
+            del self._streams[sid]
+
+    def __len__(self):
+        with self._lock:
+            return len(self._streams)
+
+
+def _decode_body(body: bytes, content_type: str) -> List[np.ndarray]:
+    """JPEG bytes or serialized .npy ([H,W,3] or [N,H,W,3] uint8) -> frames."""
+    if content_type.startswith("image/"):
+        from PIL import Image
+        return [np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))]
+    arr = np.load(io.BytesIO(body), allow_pickle=False)
+    if arr.dtype != np.uint8 or arr.ndim not in (3, 4) or arr.shape[-1] != 3:
+        raise ValueError(
+            f"expected uint8 [H,W,3] or [N,H,W,3], got {arr.dtype} "
+            f"{arr.shape}")
+    return [arr] if arr.ndim == 3 else list(arr)
+
+
+def make_handler(server: StreamServer):
+    from ..runtime.generation import GenerationConfig
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):     # route through logging, quiet
+            pass
+
+        # -- helpers -----------------------------------------------------
+        def _json(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        def _route(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            return parts
+
+        def _query(self) -> dict:
+            from urllib.parse import parse_qs, urlsplit
+            return parse_qs(urlsplit(self.path).query)
+
+        def _gen(self, req: dict, session) -> Optional["GenerationConfig"]:
+            keys = ("max_new_tokens", "temperature", "top_k", "top_p",
+                    "eos_token_ids", "stop_strings", "speculative_k")
+            kw = {k: req[k] for k in keys if k in req}
+            if not kw:
+                return None                     # session defaults
+            kw.setdefault("eos_token_ids",
+                          (session.tokenizer.eos_token_id,))
+            kw["eos_token_ids"] = tuple(kw["eos_token_ids"])
+            if "stop_strings" in kw:
+                kw["stop_strings"] = tuple(kw["stop_strings"])
+            return GenerationConfig(**kw)
+
+        # -- methods -----------------------------------------------------
+        def do_GET(self):
+            try:
+                parts = self._route()
+                if parts == ["healthz"]:
+                    return self._json(200, {"ok": True,
+                                            "streams": len(server)})
+                if (len(parts) == 4 and parts[:2] == ["v1", "streams"]
+                        and parts[3] == "metrics"):
+                    st = server.get(parts[2])
+                    return self._json(200, {
+                        "frames_received": st.n_frames_received,
+                        "frames_buffered": len(st.buf),
+                        "metrics": st.session.metrics.as_dict()})
+                self._json(404, {"error": f"no route {self.path}"})
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+            except Exception as e:                     # pragma: no cover
+                self._json(500, {"error": repr(e)})
+
+        def do_DELETE(self):
+            try:
+                parts = self._route()
+                if len(parts) == 3 and parts[:2] == ["v1", "streams"]:
+                    server.delete(parts[2])
+                    return self._json(200, {"deleted": parts[2]})
+                self._json(404, {"error": f"no route {self.path}"})
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+
+        def do_POST(self):
+            try:
+                parts = self._route()
+                if parts == ["v1", "streams"]:
+                    req = json.loads(self._body() or b"{}")
+                    try:
+                        sid = server.create(req.get("id"))
+                    except KeyError as e:
+                        return self._json(409, {"error": str(e)})
+                    return self._json(201, {"id": sid})
+                if (len(parts) == 4 and parts[:2] == ["v1", "streams"]
+                        and parts[3] == "frames"):
+                    st = server.get(parts[2])
+                    frames = _decode_body(
+                        self._body(),
+                        self.headers.get("Content-Type",
+                                         "application/octet-stream"))
+                    flush = self._query().get("flush", ["0"])[0] not in (
+                        "0", "false", "")
+                    st.add_frames(frames, flush=flush)
+                    return self._json(200, {
+                        "received": len(frames),
+                        "frames_total": st.n_frames_received,
+                        "buffered": len(st.buf)})
+                if (len(parts) == 4 and parts[:2] == ["v1", "streams"]
+                        and parts[3] == "answer"):
+                    st = server.get(parts[2])
+                    req = json.loads(self._body() or b"{}")
+                    question = req["question"]
+                    # un-ingested tail frames should be visible to the answer
+                    st.add_frames([], flush=True)
+                    gen = self._gen(req, st.session)
+                    if req.get("stream"):
+                        return self._sse_answer(st, question, gen)
+                    answer = st.session.answer(question, gen)
+                    return self._json(200, {"answer": answer})
+                self._json(404, {"error": f"no route {self.path}"})
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+            except (ValueError, AssertionError) as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:                     # pragma: no cover
+                self._json(500, {"error": repr(e)})
+
+        def _sse_answer(self, st: _Stream, question: str, gen):
+            """Server-sent-events incremental answer (token deltas)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            # SSE has no length; close the connection to end the stream
+            self.send_header("Connection", "close")
+            self.end_headers()
+            for delta in st.session.answer_stream(question, gen):
+                payload = json.dumps({"delta": delta})
+                self.wfile.write(f"data: {payload}\n\n".encode())
+                self.wfile.flush()
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+            self.close_connection = True
+
+    return Handler
+
+
+def serve_http(session_factory, host: str = "127.0.0.1", port: int = 8080,
+               max_streams: int = 64) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever() or run it in
+    a thread and .shutdown() to stop — the test harness does the latter)."""
+    registry = StreamServer(session_factory, max_streams=max_streams)
+    httpd = ThreadingHTTPServer((host, port), make_handler(registry))
+    httpd.registry = registry
+    return httpd
+
+
+def main(argv=None):
+    from .cli_server import build_session, make_parser
+    p = make_parser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-streams", type=int, default=64)
+    args = p.parse_args(argv)
+    httpd = serve_http(lambda: build_session(args), host=args.host,
+                       port=args.port, max_streams=args.max_streams)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(family={args.model_family})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
