@@ -57,15 +57,23 @@ def main():
                              bank_size=1024, max_len=2048)
 
     rng = np.random.default_rng(0)
-    frames = [rng.integers(0, 255, size=(side, side, 3), dtype=np.uint8)
-              for _ in range(clip_size)]
+    # FRESH pixels for every ingest: the runtime dedupes identical enqueued
+    # calls (CLAUDE.md), so re-sending one clip would skip uploads and
+    # flatter the live number. One base clip, rolled per step, keeps host
+    # memory flat while making every upload distinct.
+    base = [rng.integers(0, 255, size=(side, side, 3), dtype=np.uint8)
+            for _ in range(clip_size)]
 
+    def fresh_clip(step: int):
+        return [np.roll(f, shift=1 + step, axis=1) for f in base]
+
+    step = 0
     # warmup (compile)
-    sess.ingest_frames(frames)
+    sess.ingest_frames(fresh_clip(step)); step += 1
     sess.block_until_ingested()
     # fill past the memory budget so steady-state includes full clustering
     for _ in range(max((cfg.flash_memory.csm_grid_len * 2) // clip_size, 4)):
-        sess.ingest_frames(frames)
+        sess.ingest_frames(fresh_clip(step)); step += 1
     sess.block_until_ingested()
 
     from flash_vstream_tpu.runtime.metrics import (
@@ -79,7 +87,7 @@ def main():
         for _ in range(n_trials):
             t0 = time.perf_counter()
             for _ in range(n_clips):
-                sess.ingest_frames(frames)
+                sess.ingest_frames(fresh_clip(step)); step += 1
             # completion is forced by a host fetch of the final state:
             # through this tunnel jax.block_until_ready returns before the
             # device finishes, so dispatch-only timing inflates fps ~40x

@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
 """Extract frames from videos to %06d.jpg directories at a target fps.
 
-Rebuild of Flash-VStream-Qwen/scripts/extract_frames.py. This image has no
-decord/FFmpeg python bindings, so sources are: a registered video decoder
-(flash_vstream_tpu.preprocess.video.register_video_decoder), an `ffmpeg`
-binary if present on PATH, or already-extracted directories (no-op copy).
+Rebuild of Flash-VStream-Qwen/scripts/extract_frames.py. Sources, in
+order: an `ffmpeg` binary if present on PATH, the load_video chain
+(in-process cv2/FFmpeg decode of any codec, registered decoders, the
+pure-python MJPEG demuxer), or already-extracted directories (no-op copy).
 """
 import argparse
 import os

@@ -123,3 +123,26 @@ def test_http_errors(server):
     code, out = _req(f"{server}/v1/streams/dup/frames", "POST",
                      b"not an npy", content_type="application/octet-stream")
     assert code == 400
+
+
+def test_http_llava_family(tmp_path):
+    """The HTTP layer is family-generic: a LLaVA-family dry-run session
+    serves the same API (sessions share the answer/answer_stream surface)."""
+    args = make_parser().parse_args([
+        "--model-family", "llava", "--dry-run", "--clip-size", "2",
+        "--max-new-tokens", "4"])
+    httpd = serve_http(lambda: build_session(args), port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, out = _req(f"{base}/v1/streams", "POST", {"id": "lv"})
+        assert code == 201
+        code, _ = _req(f"{base}/v1/streams/lv/frames", "POST",
+                       _frames_npy(2), content_type="application/octet-stream")
+        assert code == 200
+        code, out = _req(f"{base}/v1/streams/lv/answer", "POST",
+                         {"question": "Q?", "max_new_tokens": 4})
+        assert code == 200 and isinstance(out["answer"], str)
+    finally:
+        httpd.shutdown()
