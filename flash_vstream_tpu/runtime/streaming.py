@@ -235,6 +235,21 @@ class LLaVAStreamSession:
         self._published = (None, 0)
         self._step = 0
 
+    def clone_fresh(self) -> "LLaVAStreamSession":
+        """A new independent stream sharing this session's params and
+        COMPILED jits (trace/compile once, serve many streams — the HTTP
+        server's per-stream factory uses this so stream N+1 pays no new
+        compiles); fresh memory state, counters and metrics."""
+        import copy
+        # materialize the lazy shape->compiled-fn caches BEFORE copying so
+        # every clone shares them (compiled answers are stream-agnostic)
+        for name in ("_fused_cache", "_assemble_cache"):
+            self.__dict__.setdefault(name, {})
+        c = copy.copy(self)
+        c.metrics = MetricMeter()
+        c.reset()
+        return c
+
     def save_session(self, path: str) -> str:
         """Checkpoint this stream's memory for resume (beyond the reference,
         whose bank dies with the process — SURVEY.md §5.4)."""
@@ -539,6 +554,21 @@ class QwenStreamSession:
             self.cfg.vit.hidden_size, bank_size=self._bank_size)
         self._published = (None, 0)
         self._step = 0
+
+    def clone_fresh(self) -> "QwenStreamSession":
+        """A new independent stream sharing this session's params and
+        COMPILED jits (trace/compile once, serve many streams — the HTTP
+        server's per-stream factory uses this so stream N+1 pays no new
+        compiles); fresh memory state, counters and metrics."""
+        import copy
+        # materialize the lazy shape->compiled-fn caches BEFORE copying so
+        # every clone shares them (compiled answers are stream-agnostic)
+        for name in ("_fused_cache", "_assemble_cache"):
+            self.__dict__.setdefault(name, {})
+        c = copy.copy(self)
+        c.metrics = MetricMeter()
+        c.reset()
+        return c
 
     def save_session(self, path: str) -> str:
         """Checkpoint this stream's memory for resume (beyond the reference,

@@ -73,6 +73,19 @@ class StreamServer:
         self._streams: Dict[str, _Stream] = {}
         self._lock = threading.Lock()
         self._max = max_streams
+        self._template = None      # first session; later ones clone its jits
+
+    def _new_session(self):
+        # sessions build their jits in __init__, so a fresh factory() call
+        # per stream would re-trace (and re-compile on a cold cache) for
+        # every stream. clone_fresh() shares the first session's params and
+        # compiled callables; only the memory state/counters are new.
+        if self._template is None:
+            self._template = self._factory()
+            return self._template
+        if hasattr(self._template, "clone_fresh"):
+            return self._template.clone_fresh()
+        return self._factory()
 
     def create(self, stream_id: Optional[str] = None) -> str:
         sid = stream_id or uuid.uuid4().hex[:12]
@@ -81,7 +94,7 @@ class StreamServer:
                 raise KeyError(f"stream {sid!r} already exists")
             if len(self._streams) >= self._max:
                 raise RuntimeError(f"max_streams={self._max} reached")
-            self._streams[sid] = _Stream(self._factory())
+            self._streams[sid] = _Stream(self._new_session())
         return sid
 
     def get(self, sid: str) -> _Stream:

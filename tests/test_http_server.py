@@ -146,3 +146,20 @@ def test_http_llava_family(tmp_path):
         assert code == 200 and isinstance(out["answer"], str)
     finally:
         httpd.shutdown()
+
+
+def test_http_streams_share_compiled_jits():
+    """Stream N+1 must not re-trace/compile: registry sessions clone the
+    first session's jits (StreamServer._new_session -> clone_fresh)."""
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run", "--clip-size", "2"])
+    httpd = serve_http(lambda: build_session(args), port=0)
+    try:
+        reg = httpd.registry
+        a, b = reg.create("a"), reg.create("b")
+        sa, sb = reg.get(a).session, reg.get(b).session
+        assert sa._ingest is sb._ingest
+        assert sa.generator is sb.generator
+        assert sa is not sb
+    finally:
+        httpd.server_close()

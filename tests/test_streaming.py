@@ -303,3 +303,36 @@ def test_session_resume_shape_mismatch_raises(tmp_path):
                               max_len=512)
     with pytest.raises(AssertionError, match="bank_size"):
         other.load_session(path)
+
+
+def test_clone_fresh_shares_jits_independent_state():
+    """clone_fresh: a new stream shares the template's params and compiled
+    callables (trace/compile once, serve many — the HTTP server's
+    per-stream factory) but owns independent memory state/counters."""
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=512)
+    src = SyntheticSource(4, 56, 56)
+    sess.ingest_frames([src[0], src[1]])
+    clone = sess.clone_fresh()
+    # shared compiled surface
+    assert clone._ingest is sess._ingest
+    assert clone.generator is sess.generator
+    assert clone.params is sess.params
+    assert clone._fused_cache is sess._fused_cache
+    # independent stream state
+    assert clone._published == (None, 0)
+    assert int(clone.state.n_frames) == 0
+    assert int(sess.state.n_frames) == 1         # template unaffected
+    clone.ingest_frames([src[2], src[3]])
+    clone.block_until_ingested()
+    assert int(clone.state.n_frames) == 1
+    assert int(sess.state.n_frames) == 1
+    # both answer against their own snapshots
+    a1 = sess.answer("Q?", GenerationConfig(max_new_tokens=4))
+    a2 = clone.answer("Q?", GenerationConfig(max_new_tokens=4))
+    assert isinstance(a1, str) and isinstance(a2, str)
+    # metrics are per-clone
+    assert clone.metrics is not sess.metrics
