@@ -125,6 +125,18 @@ def probe_video_len(path: str) -> int:
             return parse_mp4(path).n_samples
         except Exception:
             pass
+    try:                    # container header via cv2, no pixel decode
+        import cv2
+        cap = cv2.VideoCapture(path)
+        try:
+            if cap.isOpened():
+                n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                if n > 0:
+                    return n
+        finally:
+            cap.release()
+    except ImportError:
+        pass
     return len(load_video(path))
 
 

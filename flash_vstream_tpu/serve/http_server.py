@@ -274,7 +274,7 @@ def serve_http(session_factory, host: str = "127.0.0.1", port: int = 8080,
 
 
 def main(argv=None):
-    from .cli_server import build_session, make_parser
+    from .cli_server import build_session, make_parser, prewarm_session
     p = make_parser()
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -282,6 +282,18 @@ def main(argv=None):
     args = p.parse_args(argv)
     httpd = serve_http(lambda: build_session(args), host=args.host,
                        port=args.port, max_streams=args.max_streams)
+    if args.prewarm:
+        # compile every answer bucket on the TEMPLATE session before
+        # accepting traffic; all later streams clone its compiled jits, so
+        # no request ever pays a cold compile
+        from ..runtime.generation import GenerationConfig
+        from ..utils.logging import build_logger
+        sess = httpd.registry._new_session()
+        prewarm_session(
+            sess, args,
+            GenerationConfig(max_new_tokens=args.max_new_tokens,
+                             eos_token_ids=(sess.tokenizer.eos_token_id,)),
+            build_logger("http_server"))
     print(f"serving on http://{args.host}:{args.port} "
           f"(family={args.model_family})")
     try:

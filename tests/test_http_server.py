@@ -163,3 +163,34 @@ def test_http_streams_share_compiled_jits():
         assert sa is not sb
     finally:
         httpd.server_close()
+
+
+def test_http_prewarm_template(tmp_path):
+    """--prewarm compiles answer buckets on the TEMPLATE session before
+    traffic; stream 1 gets the (reset) template, later streams clone it."""
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    from flash_vstream_tpu.serve.cli_server import prewarm_session
+    from flash_vstream_tpu.utils.logging import build_logger
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run", "--clip-size", "2",
+        "--max-new-tokens", "4", "--prewarm"])
+    httpd = serve_http(lambda: build_session(args), port=0)
+    try:
+        sess = httpd.registry._new_session()
+        prewarm_session(
+            sess, args,
+            GenerationConfig(max_new_tokens=4,
+                             eos_token_ids=(sess.tokenizer.eos_token_id,)),
+            build_logger("test_http_prewarm"))
+        sid = httpd.registry.create("first")
+        first = httpd.registry.get(sid).session
+        # every stream clones the prewarmed template: shared compiled jits
+        # (incl. the fused-answer cache populated by prewarm), fresh state
+        assert first._ingest is sess._ingest
+        assert first._assemble_cache is sess._assemble_cache
+        assert len(sess._assemble_cache) >= 1   # prewarm compiled answers
+        assert first._published == (None, 0)
+        sid2 = httpd.registry.create("second")
+        assert httpd.registry.get(sid2).session._ingest is sess._ingest
+    finally:
+        httpd.server_close()
