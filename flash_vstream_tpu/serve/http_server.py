@@ -231,6 +231,9 @@ def make_handler(server: StreamServer):
                     question = req["question"]
                     # un-ingested tail frames should be visible to the answer
                     st.add_frames([], flush=True)
+                    if st.session._published[0] is None:
+                        return self._json(400, {
+                            "error": "no frames ingested on this stream yet"})
                     gen = self._gen(req, st.session)
                     if req.get("stream"):
                         return self._sse_answer(st, question, gen)

@@ -194,3 +194,11 @@ def test_http_prewarm_template(tmp_path):
         assert httpd.registry.get(sid2).session._ingest is sess._ingest
     finally:
         httpd.server_close()
+
+
+def test_http_answer_before_frames_is_400(server):
+    code, _ = _req(f"{server}/v1/streams", "POST", {"id": "empty"})
+    assert code == 201
+    code, out = _req(f"{server}/v1/streams/empty/answer", "POST",
+                     {"question": "Q?"})
+    assert code == 400 and "no frames" in out["error"]
