@@ -39,6 +39,13 @@ class GenerationConfig:
     # Requires context_ids at generate() time.
     speculative_k: int = 0
     speculative_ngram: int = 3
+    # preemptible answers (greedy path): split the compiled decode loop into
+    # chunks of this many tokens with a host sync between dispatches, so a
+    # concurrent ingest thread's queued clips run BETWEEN chunks instead of
+    # stalling behind one monolithic answer dispatch (the contention the
+    # reference sidesteps with a dedicated second GPU, cli_server_2gpu.py).
+    # Costs ~1 tunnel RTT per chunk of answer latency. 0 = off (fused).
+    preemptible_chunk: int = 0
 
 
 def trim_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
@@ -139,6 +146,38 @@ class Generator:
             n, _, cache, out, _ = jax.lax.while_loop(cond, body, state)
             return out, n, cache
 
+        def decode_chunk(params, first_tok, pos_start, cache, max_new,
+                         eos_ids, done0):
+            """Resumable slice of decode_loop: also returns the next token
+            and done mask so the host can stitch chunks together with a
+            completion-forcing sync between dispatches (preemptible
+            answers — ingest clips queued mid-answer run in the gaps)."""
+            B = first_tok.shape[0]
+            out = jnp.zeros((B, max_new), jnp.int32)
+
+            def is_eos(tok):
+                if eos_ids.shape[0] == 0:
+                    return jnp.zeros(tok.shape, bool)
+                return jnp.any(tok[:, None] == eos_ids[None, :], axis=1)
+
+            def cond(state):
+                i, tok, cache, out, done = state
+                return (i < max_new) & ~jnp.all(done)
+
+            def body(state):
+                i, tok, cache, out, done = state
+                out = out.at[:, i].set(tok)
+                done = done | is_eos(tok)
+                logits, cache = step(params, tok, pos_start + i, cache)
+                ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ntok = jnp.where(done, tok, ntok)
+                return (i + 1, ntok, cache, out, done)
+
+            state = (jnp.int32(0), first_tok.astype(jnp.int32), cache, out,
+                     done0)
+            n, tok, cache, out, done = jax.lax.while_loop(cond, body, state)
+            return out, n, cache, tok, done
+
         def spec_decode_loop(params, first_tok, pos_start, cache, hist0,
                              h_len0, max_new, eos_ids, k, ngram):
             """Greedy decode with in-loop PROMPT-LOOKUP drafting, all inside
@@ -235,6 +274,8 @@ class Generator:
         self._step = jax.jit(step, donate_argnums=(3,))
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
                                     static_argnums=(4,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(3,),
+                                     static_argnums=(4,))
         self._spec_decode_loop = jax.jit(spec_decode_loop,
                                          donate_argnums=(3,),
                                          static_argnums=(6, 8, 9))
@@ -346,6 +387,30 @@ class Generator:
                     gen.max_new_tokens, eos, k, ng)
                 toks = np.asarray(out[0, :min(int(n),
                                               gen.max_new_tokens)]).tolist()
+                for j, t in enumerate(toks):
+                    if t in stop_ids:
+                        return toks[:j + 1]
+                return toks
+            if gen.preemptible_chunk > 0:
+                # chunked greedy: identical tokens to the fused loop, but the
+                # device queue drains between chunks (the int(n) fetch forces
+                # completion through the tunnel), letting concurrently
+                # dispatched ingest clips preempt a long answer
+                toks: List[int] = []
+                tok, pos = first, decode_pos_start
+                done = jnp.zeros((first.shape[0],), bool)
+                remaining = gen.max_new_tokens
+                while remaining > 0:
+                    c = min(gen.preemptible_chunk, remaining)
+                    out, n, cache, tok, done = self._decode_chunk(
+                        self.params, tok, jnp.int32(pos), cache, c, eos,
+                        done)
+                    n = int(n)                       # host sync (preemption)
+                    toks += np.asarray(out[0, :n]).tolist()
+                    pos += n
+                    remaining -= n
+                    if n == 0 or bool(done[0]):
+                        break
                 for j, t in enumerate(toks):
                     if t in stop_ids:
                         return toks[:j + 1]

@@ -372,7 +372,8 @@ class LLaVAStreamSession:
                 max_new_tokens=128,
                 eos_token_ids=(self.tokenizer.eos_token_id,))
             greedy = gen.temperature <= 0.0 or gen.top_k == 1
-            if greedy and gen.speculative_k == 0:
+            if (greedy and gen.speculative_k == 0
+                    and gen.preemptible_chunk == 0):
                 out = self._answer_fused(question, memory, n_frames, gen)
                 stop_str = conv_templates[self.conv_template].stop_str
             else:
@@ -778,7 +779,7 @@ class QwenStreamSession:
             max_new_tokens=128,
             eos_token_ids=(self.tokenizer.eos_token_id,))
         greedy = gen.temperature <= 0.0 or gen.top_k == 1
-        if greedy and gen.speculative_k == 0:
+        if greedy and gen.speculative_k == 0 and gen.preemptible_chunk == 0:
             # greedy: whole answer in ONE dispatch (assemble+prefill+decode)
             out = self._answer_fused(snapshot, n_frames, question, gen)
         else:

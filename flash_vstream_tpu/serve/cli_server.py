@@ -163,7 +163,8 @@ def run_server(args) -> dict:
         prewarm_session(
             session, args,
             GenerationConfig(max_new_tokens=args.max_new_tokens,
-                             eos_token_ids=(session.tokenizer.eos_token_id,)),
+                             eos_token_ids=(session.tokenizer.eos_token_id,),
+                             preemptible_chunk=args.preempt),
             logger)
 
     if args.video_file:
@@ -184,7 +185,8 @@ def run_server(args) -> dict:
 
     metrics = session.metrics
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
-                           eos_token_ids=(session.tokenizer.eos_token_id,))
+                           eos_token_ids=(session.tokenizer.eos_token_id,),
+                           preemptible_chunk=args.preempt)
 
     def do_answer(q: str) -> str:
         """Full answer, or incremental printing with --stream-output (the
@@ -336,6 +338,10 @@ def make_parser():
     p.add_argument("--stream-output", action="store_true",
                    help="print answer tokens incrementally as they decode "
                         "(TextStreamer UX, cli_video_stream.py:292-309)")
+    p.add_argument("--preempt", type=int, default=0,
+                   help="decode chunk size for preemptible answers: queued "
+                        "ingest clips run between answer chunks instead of "
+                        "stalling behind one fused dispatch (0 = fused)")
     p.add_argument("--threaded-ingest", action="store_true",
                    help="pace ingestion on a background thread so answers "
                         "never stall the stream")

@@ -159,7 +159,8 @@ def make_handler(server: StreamServer):
 
         def _gen(self, req: dict, session) -> Optional["GenerationConfig"]:
             keys = ("max_new_tokens", "temperature", "top_k", "top_p",
-                    "eos_token_ids", "stop_strings", "speculative_k")
+                    "eos_token_ids", "stop_strings", "speculative_k",
+                    "preemptible_chunk")
             kw = {k: req[k] for k in keys if k in req}
             if not kw:
                 return None                     # session defaults

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--clip", type=int, default=8)
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--decode", type=int, default=16)
+    ap.add_argument("--preempt", type=int, default=0,
+                    help="decode chunk size for preemptible answers: ingest "
+                         "clips queued mid-answer run between chunks "
+                         "(0 = fused one-dispatch answers)")
     args = ap.parse_args()
 
     import dataclasses
@@ -91,7 +95,8 @@ def main():
                              frame_hw=(args.side, args.side),
                              clip_size=args.clip, bank_size=512,
                              max_len=8192)
-    gen = GenerationConfig(max_new_tokens=args.decode, eos_token_ids=())
+    gen = GenerationConfig(max_new_tokens=args.decode, eos_token_ids=(),
+                           preemptible_chunk=args.preempt)
     q = "What is happening right now?"
 
     # prewarm: compile ingest + every answer bucket before the clock starts
@@ -135,6 +140,7 @@ def main():
     print(json.dumps({
         "metric": f"serve_scenario_{args.scenario}_{args.arch}",
         "frames": n_frames, "fps_target": args.fps, "clip": args.clip,
+        "preempt": args.preempt,
         "wall_s": round(wall, 1),
         "missed_clip_deadlines": ing.missed_deadlines,
         "n_answers": len(answers),

@@ -203,3 +203,22 @@ def test_cli_server_save_and_resume_session(tmp_path):
     s2 = run_server(args2)
     assert s2["frames_ingested"] == 2   # this run's frames
     assert len(s2["answers"]) == 1     # answered over resumed + new memory
+
+
+def test_cli_server_preemptible_answers(tmp_path):
+    """--preempt N serves chunk-stitched answers (queued clips run between
+    chunks); output contract is identical to the fused path."""
+    out = str(tmp_path / "summary.json")
+    args = make_parser().parse_args([
+        "--model-family", "qwen", "--dry-run",
+        "--synthetic-frames", "8", "--clip-size", "2",
+        "--fps", "2", "--play_speed", "0",
+        "--question", "What is happening?",
+        "--question_interval", "0.0001",
+        "--max-new-tokens", "6", "--preempt", "2",
+        "--output-file", out,
+    ])
+    summary = run_server(args)
+    assert summary["frames_ingested"] == 8
+    assert len(summary["answers"]) >= 1
+    assert all(isinstance(a["answer"], str) for a in summary["answers"])

@@ -153,3 +153,32 @@ def test_speculative_prompt_lookup_exact():
     b8 = g8.generate(embeds, pos, base_gen)
     s8 = g8.generate(embeds, pos, spec_gen, context_ids=ctx)
     assert s8 == b8, (s8, b8)
+
+
+def test_preemptible_chunks_match_fused(rng):
+    """Chunked greedy decode (preemptible answers) emits exactly the fused
+    loop's tokens for every chunk size, including non-dividing ones."""
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 6, 32)).astype(np.float32))
+    pos = jnp.arange(6)[None]
+    fused = g.generate(embeds, pos, GenerationConfig(max_new_tokens=10))
+    for chunk in (1, 3, 4, 16):
+        chunked = g.generate(embeds, pos, GenerationConfig(
+            max_new_tokens=10, preemptible_chunk=chunk))
+        assert chunked == fused, chunk
+
+
+def test_preemptible_eos_mid_chunk(rng):
+    """EOS inside a chunk stops the stitched decode exactly like the fused
+    loop (no trailing frozen tokens from later chunks)."""
+    g = make_gen()
+    embeds = jnp.asarray(rng.normal(size=(1, 4, 32)).astype(np.float32))
+    pos = jnp.arange(4)[None]
+    toks = g.generate(embeds, pos, GenerationConfig(max_new_tokens=8,
+                                                    eos_token_ids=()))
+    eos = toks[2]          # third greedy token becomes the EOS
+    fused = g.generate(embeds, pos, GenerationConfig(max_new_tokens=8,
+                                                     eos_token_ids=(eos,)))
+    chunked = g.generate(embeds, pos, GenerationConfig(
+        max_new_tokens=8, eos_token_ids=(eos,), preemptible_chunk=2))
+    assert chunked == fused

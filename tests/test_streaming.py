@@ -336,3 +336,27 @@ def test_clone_fresh_shares_jits_independent_state():
     assert isinstance(a1, str) and isinstance(a2, str)
     # metrics are per-clone
     assert clone.metrics is not sess.metrics
+
+
+def test_session_preemptible_matches_fused():
+    """Preemptible (chunk-stitched) answers == the fused one-dispatch path."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from flash_vstream_tpu.core.config import tiny_qwen_config
+    from flash_vstream_tpu.models.vstream_qwen import init_qwen_params
+    from flash_vstream_tpu.runtime.generation import GenerationConfig
+    from flash_vstream_tpu.runtime.streaming import QwenStreamSession
+    cfg = tiny_qwen_config()
+    params = init_qwen_params(jax.random.PRNGKey(0), cfg)
+    sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
+                             frame_hw=(56, 56), clip_size=2, bank_size=16,
+                             max_len=2048)
+    frames = [np.zeros((56, 56, 3), np.uint8)] * 2
+    sess.ingest_frames(frames)
+    sess.block_until_ingested()
+    gen = GenerationConfig(max_new_tokens=8, eos_token_ids=())
+    base = sess.answer("What is happening here?", gen)
+    pre = sess.answer("What is happening here?",
+                      dataclasses.replace(gen, preemptible_chunk=3))
+    assert pre == base, (pre, base)
