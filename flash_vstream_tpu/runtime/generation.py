@@ -45,7 +45,28 @@ class GenerationConfig:
     # stalling behind one monolithic answer dispatch (the contention the
     # reference sidesteps with a dedicated second GPU, cli_server_2gpu.py).
     # Costs ~1 tunnel RTT per chunk of answer latency. 0 = off (fused).
+    # Precedence: when speculative_k is also active (with context_ids), the
+    # speculative fused loop wins and preemption is ignored — speculation
+    # already keeps the dispatch short, and chunking it would discard the
+    # accepted-draft bookkeeping. generate() warns once on the combination.
     preemptible_chunk: int = 0
+
+
+_SPEC_PREEMPT_WARNED = False
+
+
+def _warn_spec_preempt_once():
+    """speculative_k + preemptible_chunk: speculation wins (see
+    GenerationConfig); surface the silent-ignore once per process."""
+    global _SPEC_PREEMPT_WARNED
+    if not _SPEC_PREEMPT_WARNED:
+        _SPEC_PREEMPT_WARNED = True
+        import warnings
+        warnings.warn(
+            "speculative_k and preemptible_chunk both set: the speculative "
+            "fused loop runs and preemption is ignored (one monolithic "
+            "dispatch). Drop speculative_k if clip-deadline preemption "
+            "matters more than answer latency.", stacklevel=3)
 
 
 def trim_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
@@ -357,8 +378,16 @@ class Generator:
         spec_pad = (gen.speculative_k
                     if gen.speculative_k > 0 and context_ids is not None
                     else 0)
+        if spec_pad and gen.preemptible_chunk > 0:
+            _warn_spec_preempt_once()
+        # fixed-size preemptible chunks may overrun max_new_tokens by up to
+        # chunk-1 masked steps; the cache bucket must cover them
+        chunk_pad = 0
+        if gen.preemptible_chunk > 0 and not spec_pad:
+            c = gen.preemptible_chunk
+            chunk_pad = (c - gen.max_new_tokens % c) % c
         cache = self.new_cache(
-            B, self._active_len(S, gen.max_new_tokens + spec_pad))
+            B, self._active_len(S, gen.max_new_tokens + spec_pad + chunk_pad))
         logits, cache = self._prefill(self.params, embeds, positions, cache,
                                       segment_ids, last_real_idx)
         if decode_pos_start is None:
@@ -395,20 +424,25 @@ class Generator:
                 # chunked greedy: identical tokens to the fused loop, but the
                 # device queue drains between chunks (the int(n) fetch forces
                 # completion through the tunnel), letting concurrently
-                # dispatched ingest clips preempt a long answer
+                # dispatched ingest clips preempt a long answer.
+                # Every dispatch uses the SAME chunk size (the tail chunk
+                # over-decodes masked steps and is trimmed host-side), so one
+                # compiled program serves every (max_new_tokens, chunk)
+                # combination — no cold tail-chunk compile mid-answer.
                 toks: List[int] = []
                 tok, pos = first, decode_pos_start
                 done = jnp.zeros((first.shape[0],), bool)
+                c = gen.preemptible_chunk
                 remaining = gen.max_new_tokens
                 while remaining > 0:
-                    c = min(gen.preemptible_chunk, remaining)
                     out, n, cache, tok, done = self._decode_chunk(
                         self.params, tok, jnp.int32(pos), cache, c, eos,
                         done)
                     n = int(n)                       # host sync (preemption)
-                    toks += np.asarray(out[0, :n]).tolist()
+                    take = min(n, remaining)
+                    toks += np.asarray(out[0, :take]).tolist()
                     pos += n
-                    remaining -= n
+                    remaining -= take
                     if n == 0 or bool(done[0]):
                         break
                 for j, t in enumerate(toks):

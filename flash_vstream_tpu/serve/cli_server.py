@@ -107,7 +107,12 @@ def prewarm_session(session, args, gen, logger):
     bucket's assemble+prefill+decode programs compile 30-60 s cold through
     the remote compile service, which showed up as missed ingest deadlines
     early in live streams. Prewarming moves all of it ahead of frame zero,
-    then resets the stream state (jits stay compiled)."""
+    then resets the stream state (jits stay compiled).
+
+    Preemptible answers use ONE fixed-size chunk program (the tail chunk
+    over-decodes and trims host-side, generation.py), so even when a trained
+    checkpoint emits EOS during the first prewarm chunk, no un-prewarmed
+    program remains to compile cold mid-stream."""
     import jax.numpy as jnp
     t0 = time.perf_counter()
     side = 56 if args.dry_run else args.frame_size
@@ -341,7 +346,10 @@ def make_parser():
     p.add_argument("--preempt", type=int, default=0,
                    help="decode chunk size for preemptible answers: queued "
                         "ingest clips run between answer chunks instead of "
-                        "stalling behind one fused dispatch (0 = fused)")
+                        "stalling behind one fused dispatch (0 = fused). "
+                        "With --stream-output the stepwise one-jit-per-token "
+                        "path runs instead — it is inherently preemptible "
+                        "and this chunk size is ignored")
     p.add_argument("--threaded-ingest", action="store_true",
                    help="pace ingestion on a background thread so answers "
                         "never stall the stream")

@@ -68,11 +68,17 @@ class _Stream:
 class StreamServer:
     """Registry of live streams over one shared model/session factory."""
 
-    def __init__(self, session_factory, max_streams: int = 64):
+    def __init__(self, session_factory, max_streams: int = 64,
+                 preempt_chunk: int = 0):
         self._factory = session_factory
         self._streams: Dict[str, _Stream] = {}
         self._lock = threading.Lock()
         self._max = max_streams
+        # the ONLY chunk size preemptible answers may use: every distinct
+        # chunk value compiles a fresh program through the remote compile
+        # service (20-40 s, serialized across clients), so clients toggle
+        # preemption but the server picks the size
+        self.preempt_chunk = int(preempt_chunk)
         self._template = None      # first session; later ones clone its jits
 
     def _new_session(self):
@@ -164,11 +170,40 @@ def make_handler(server: StreamServer):
             kw = {k: req[k] for k in keys if k in req}
             if not kw:
                 return None                     # session defaults
+            # type/range validation: a bad value must 400 here, not 500 deep
+            # in the decode loop
+            for k in ("max_new_tokens", "top_k", "speculative_k",
+                      "preemptible_chunk"):
+                if k in kw:
+                    if not isinstance(kw[k], int) or isinstance(kw[k], bool) \
+                            or kw[k] < 0:
+                        raise ValueError(
+                            f"{k} must be a non-negative integer, "
+                            f"got {kw[k]!r}")
+            for k in ("temperature", "top_p"):
+                if k in kw:
+                    if not isinstance(kw[k], (int, float)) \
+                            or isinstance(kw[k], bool):
+                        raise ValueError(f"{k} must be a number, "
+                                         f"got {kw[k]!r}")
+                    kw[k] = float(kw[k])
+            # clients may only TOGGLE preemption; the chunk size is fixed
+            # server-side (each distinct size is a separate 20-40 s compile
+            # through the shared remote compile service)
+            if kw.get("preemptible_chunk"):
+                kw["preemptible_chunk"] = server.preempt_chunk
+            if "eos_token_ids" in kw:
+                if not isinstance(kw["eos_token_ids"], list) or not all(
+                        isinstance(t, int) for t in kw["eos_token_ids"]):
+                    raise ValueError("eos_token_ids must be a list of ints")
+            if "stop_strings" in kw:
+                if not isinstance(kw["stop_strings"], list) or not all(
+                        isinstance(s, str) for s in kw["stop_strings"]):
+                    raise ValueError("stop_strings must be a list of strings")
+                kw["stop_strings"] = tuple(kw["stop_strings"])
             kw.setdefault("eos_token_ids",
                           (session.tokenizer.eos_token_id,))
             kw["eos_token_ids"] = tuple(kw["eos_token_ids"])
-            if "stop_strings" in kw:
-                kw["stop_strings"] = tuple(kw["stop_strings"])
             return GenerationConfig(**kw)
 
         # -- methods -----------------------------------------------------
@@ -268,10 +303,12 @@ def make_handler(server: StreamServer):
 
 
 def serve_http(session_factory, host: str = "127.0.0.1", port: int = 8080,
-               max_streams: int = 64) -> ThreadingHTTPServer:
+               max_streams: int = 64,
+               preempt_chunk: int = 0) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever() or run it in
     a thread and .shutdown() to stop — the test harness does the latter)."""
-    registry = StreamServer(session_factory, max_streams=max_streams)
+    registry = StreamServer(session_factory, max_streams=max_streams,
+                            preempt_chunk=preempt_chunk)
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     httpd.registry = registry
     return httpd
@@ -285,7 +322,8 @@ def main(argv=None):
     p.add_argument("--max-streams", type=int, default=64)
     args = p.parse_args(argv)
     httpd = serve_http(lambda: build_session(args), host=args.host,
-                       port=args.port, max_streams=args.max_streams)
+                       port=args.port, max_streams=args.max_streams,
+                       preempt_chunk=args.preempt)
     if args.prewarm:
         # compile every answer bucket on the TEMPLATE session before
         # accepting traffic; all later streams clone its compiled jits, so
