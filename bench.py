@@ -172,7 +172,7 @@ def main():
                       num_layers=2, num_heads=4, num_kv_heads=2,
                       attention_bias=True, mrope_sections=(2, 3, 3)),
         flash_memory=FlashMemoryConfig(),   # temporal 120, spatial 60
-        image_token_id=258, video_token_id=263, vision_start_token_id=261,
+        image_token_id=264, video_token_id=263, vision_start_token_id=261,
     )
     params = init_qwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_INT8_VIT"):

@@ -287,7 +287,7 @@ def tiny_qwen_config() -> VStreamQwenConfig:
         flash_memory=FlashMemoryConfig(temporal_length=8, spatial_length=4),
         max_seq_len=1024,
         # ByteTokenizer special ids (see preprocess/qwen_processor.py)
-        image_token_id=258,
+        image_token_id=264,
         video_token_id=263,
         vision_start_token_id=261,
     )

@@ -201,16 +201,42 @@ def qwen_rope_positions(
     Text before the video counts 0..st-1; visual tokens use AM-RoPE positions
     offset by st; text after resumes at max+1. Returns ([3, S], rope_delta).
     """
-    S = len(input_ids)
     start, n_vis = visual_span
+    return mm_rope_positions(input_ids, [(start, visual_positions)])
+
+
+def mm_rope_positions(
+    input_ids: np.ndarray,                       # [S] host-side token ids
+    spans: list,                                 # ordered [(start, pos[3,n])]
+) -> Tuple[np.ndarray, int]:
+    """Full-sequence 3D rope positions for ARBITRARY image/video
+    interleavings.
+
+    Host-side generalization of get_rope_index (model.py:778-939) to many
+    visual spans: text between spans counts sequentially from the running
+    index; each span splices its own 3D block (AM-RoPE positions for videos,
+    the standard mm grid index for images — the reference raises
+    NotImplementedError on the image branch, model.py:864-866); text after a
+    span resumes at max(span)+1 plus the running offset. Returns
+    ([3, S], rope_delta)."""
+    S = len(input_ids)
     pos = np.zeros((3, S), np.int64)
-    pos[:, :start] = np.arange(start)
-    vis = visual_positions + start
-    pos[:, start:start + n_vis] = vis
-    st_idx = vis.max() + 1 if n_vis > 0 else start
-    tail = S - (start + n_vis)
-    pos[:, start + n_vis:] = st_idx + np.arange(tail)
-    rope_delta = int(pos.max()) + 1 - S
+    cur = 0       # next sequence slot to fill
+    st_idx = 0    # next 1D position value for text
+    for start, vp in spans:
+        vp = np.asarray(vp)
+        n = vp.shape[1]
+        text_len = start - cur
+        assert text_len >= 0, "spans must be ordered and non-overlapping"
+        pos[:, cur:start] = st_idx + np.arange(text_len)
+        st_idx += text_len
+        pos[:, start:start + n] = vp + st_idx
+        if n:
+            st_idx += int(vp.max()) + 1
+        cur = start + n
+    tail = S - cur
+    pos[:, cur:] = st_idx + np.arange(tail)
+    rope_delta = int(pos.max()) + 1 - S if S else 0
     return pos, rope_delta
 
 

@@ -64,6 +64,23 @@ def visual_token_count(cfg: VStreamQwenConfig, t: int, h: int, w: int
     return dt * dh * dw // 4, ct * ch * cw // 4
 
 
+def image_token_count(h: int, w: int) -> int:
+    """LLM tokens for one still image: the full patch grid merged 2x2.
+    Images bypass Flash memory (no temporal axis to consolidate)."""
+    return h * w // 4
+
+
+def mm_grid_index(t: int, h: int, w: int) -> np.ndarray:
+    """Standard Qwen2-VL 3D rope index over an LLM-space grid
+    (get_mm_index, vstream_qwen2vl_model.py:889-898): (t, h//2, w//2)
+    enumerated row-major. Returns [3, t*h*w//4] int64."""
+    gh, gw = h // 2, w // 2
+    t_idx = np.repeat(np.arange(t), gh * gw)
+    h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+    w_idx = np.tile(np.arange(gw), t * gh)
+    return np.stack([t_idx, h_idx, w_idx]).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Visual encoder pipeline
 # ---------------------------------------------------------------------------
@@ -154,6 +171,37 @@ def encode_video(
     return QwenVisualOutput(video_embeds, vis_pos)
 
 
+def encode_image(
+    params: dict,
+    cfg: VStreamQwenConfig,
+    patches: jnp.ndarray,        # [h*w, pd] patchified pixels (t=1 grid;
+                                 # qwen_patchify duplicates the single frame
+                                 # across the temporal patch)
+    grid_hw: Tuple[int, int],    # static (h, w) patch grid
+    patch_norm=None,             # (scale_pd, shift_pd) for uint8 input
+) -> QwenVisualOutput:
+    """Still-image encode: varlen ViT on the (1, h, w) grid + PatchMerger.
+
+    Beyond-reference capability: the reference's get_rope_index raises
+    NotImplementedError on image tokens (vstream_qwen2vl_model.py:864-866)
+    and its processor has no image path wired. Images take the standard
+    Qwen2-VL route — full-resolution single-segment attention, NO Flash
+    memory (nothing temporal to consolidate), standard mm rope index."""
+    h, w = grid_hw
+    from .qwen2_vit import grid_positions, grid_segments, qwen_vit_blocks
+    if patch_norm is not None:
+        scale_pd = jnp.asarray(patch_norm[0], jnp.float32)
+        shift_pd = jnp.asarray(patch_norm[1], jnp.float32)
+        patches = (patches.astype(jnp.float32) * scale_pd
+                   + shift_pd).astype(jnp.bfloat16)
+    pos = jnp.asarray(grid_positions([(1, h, w)]))
+    seg = jnp.asarray(grid_segments([(1, h, w)]))
+    hidden = qwen_vit_blocks(params["vit"], cfg.vit, patches, pos, seg)
+    image_embeds = patch_merger(params["vit"], hidden)      # [h*w//4, llm]
+    vis_pos = jnp.asarray(mm_grid_index(1, h, w), jnp.int32)
+    return QwenVisualOutput(image_embeds, vis_pos)
+
+
 # ---------------------------------------------------------------------------
 # LLM integration
 # ---------------------------------------------------------------------------
@@ -163,10 +211,13 @@ def splice_video_embeds(
     cfg: VStreamQwenConfig,
     input_ids: np.ndarray,        # [S] host-side, with video-pad token block
     video_embeds: jnp.ndarray,    # [n_visual, llm_hidden]
+    pad_id: Optional[int] = None,  # defaults to cfg.video_token_id; pass the
+                                   # image pad id to splice an image block
 ) -> jnp.ndarray:
     """Replace the contiguous video-pad token block with video embeddings
     (model.py:528-538). Returns [1, S, llm_hidden]."""
-    (vid_pos,) = np.where(input_ids == cfg.video_token_id)
+    (vid_pos,) = np.where(input_ids == (
+        cfg.video_token_id if pad_id is None else pad_id))
     assert len(vid_pos) == video_embeds.shape[0], (
         f"video token count {len(vid_pos)} != embeds {video_embeds.shape[0]}")
     start = int(vid_pos[0])
@@ -202,6 +253,43 @@ def build_qwen_positions(
     pos = jnp.concatenate([pre, vis, tail], axis=1)
     rope_delta = jnp.max(pos) + 1 - seq_len
     return pos[:, None, :], rope_delta
+
+
+def build_qwen_positions_dynamic(
+    seq_len: int,
+    video_start: jnp.ndarray,        # [] int32 TRACED splice offset
+    n_visual: int,                   # static (bucket-constant)
+    visual_positions: jnp.ndarray,   # [3, n_visual]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """build_qwen_positions with a TRACED video start offset.
+
+    One compiled train step serves a whole shape bucket even when items'
+    pre-video text lengths differ (the reference recomputes get_rope_index
+    per sample on host; here the offset is a device scalar and the splice
+    rule — text counts to start, visual block offset by start, tail resumes
+    at max+1 — is expressed as masks over a static [3, seq_len] grid).
+    Returns ([3, 1, seq_len], rope_delta scalar)."""
+    i = jnp.arange(seq_len)
+    start = jnp.asarray(video_start, jnp.int32)
+    j = jnp.clip(i - start, 0, n_visual - 1)
+    vis_at = visual_positions[:, j]                     # [3, S]
+    in_vis = (i >= start) & (i < start + n_visual)
+    after = i >= start + n_visual
+    st_idx = jnp.max(visual_positions) + start + 1
+    text_after = st_idx + (i - start - n_visual)
+    pos = jnp.where(in_vis[None], vis_at + start,
+                    jnp.where(after[None], text_after[None],
+                              jnp.broadcast_to(i[None], (3, seq_len))))
+    rope_delta = jnp.max(pos) + 1 - seq_len
+    return pos[:, None, :], rope_delta
+
+
+def splice_embeds_dynamic(embeds: jnp.ndarray, visual: jnp.ndarray,
+                          start: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite embeds[0, start:start+n_vis] with the visual block at a
+    TRACED offset (pairs with build_qwen_positions_dynamic)."""
+    return jax.lax.dynamic_update_slice(
+        embeds, visual[None].astype(embeds.dtype), (0, start, 0))
 
 
 def qwen_forward_train(

@@ -20,10 +20,12 @@ from .tokenizer import ByteTokenizer
 VISION_START = "<|vision_start|>"
 VISION_END = "<|vision_end|>"
 VIDEO_PAD = "<|video_pad|>"
+IMAGE_PAD = "<|image_pad|>"
 IM_START = "<|im_start|>"
 IM_END = "<|im_end|>"
 
-QWEN_SPECIALS = (IM_START, IM_END, VISION_START, VISION_END, VIDEO_PAD)
+QWEN_SPECIALS = (IM_START, IM_END, VISION_START, VISION_END, VIDEO_PAD,
+                 IMAGE_PAD)
 
 
 def make_byte_qwen_tokenizer() -> ByteTokenizer:
@@ -34,6 +36,12 @@ def _video_pad_id(tokenizer, cfg: VStreamQwenConfig) -> int:
     if isinstance(tokenizer, ByteTokenizer):
         return tokenizer.special_id(VIDEO_PAD)
     return cfg.video_token_id
+
+
+def _image_pad_id(tokenizer, cfg: VStreamQwenConfig) -> int:
+    if isinstance(tokenizer, ByteTokenizer):
+        return tokenizer.special_id(IMAGE_PAD)
+    return cfg.image_token_id
 
 
 def build_video_prompt(
@@ -49,28 +57,76 @@ def build_video_prompt(
     Either `grid` (offline: (t, h, w), token count predicted via grid math) or
     `n_video_tokens` (streaming: dummy_video_tokens, processor.py:367-375)
     must be given. Returns (input_ids [S], (video_start, n_visual))."""
-    if n_video_tokens is None:
-        assert grid is not None
-        dam, csm = visual_token_count(cfg, *grid)
-        n_video_tokens = dam + csm
+    media = ([("video_tokens", n_video_tokens)] if n_video_tokens is not None
+             else [("video", grid)])
+    input_ids, spans = build_mm_prompt(cfg, tokenizer, question, media,
+                                       system=system)
+    start, n, _ = spans[0]
+    return input_ids, (start, n)
+
+
+def build_mm_prompt(
+    cfg: VStreamQwenConfig,
+    tokenizer,
+    question: str,
+    media: list,   # ordered [("video", (t,h,w)) | ("image", (h,w)) |
+                   #          ("video_tokens", n)]
+    system: str = "You are a helpful assistant.",
+) -> Tuple[np.ndarray, list]:
+    """Build ChatML ids with EVERY media block expanded, in order.
+
+    Generalizes the reference processor's single-video expansion
+    (vstream_qwen2vl_processor.py:353-387) to interleaved images and videos:
+    each video placeholder expands to (dam + csm) tokens via the grid math;
+    each image expands to h*w//4 tokens (standard Qwen2-VL, full patch grid
+    merged 2x2 — images bypass Flash memory). Returns
+    (input_ids [S], spans=[(start, n_tokens, kind), ...])."""
+    from ..models.vstream_qwen import image_token_count
+
+    counts, kinds = [], []
+    for kind, g in media:
+        if kind == "video":
+            dam, csm = visual_token_count(cfg, *g)
+            counts.append(dam + csm)
+            kinds.append("video")
+        elif kind == "video_tokens":
+            counts.append(int(g))
+            kinds.append("video")
+        elif kind == "image":
+            counts.append(image_token_count(*g))
+            kinds.append("image")
+        else:
+            raise ValueError(f"unknown media kind {kind!r}")
+
     conv = conv_chatml.copy()
     conv.system = system
-    user_msg = f"{VISION_START}{VIDEO_PAD}{VISION_END}{question}"
-    conv.append_message(conv.roles[0], user_msg)
+    blocks = "".join(
+        f"{VISION_START}{VIDEO_PAD if k == 'video' else IMAGE_PAD}"
+        f"{VISION_END}" for k in kinds)
+    conv.append_message(conv.roles[0], blocks + question)
     conv.append_message(conv.roles[1], None)
     prompt = conv.get_prompt()
 
-    pad_id = _video_pad_id(tokenizer, cfg)
-    pre, post = prompt.split(VIDEO_PAD)
     if isinstance(tokenizer, ByteTokenizer):
-        ids_pre = tokenizer.encode(pre, add_bos=False)
-        ids_post = tokenizer.encode(post, add_bos=False)
+        def enc(t):
+            return tokenizer.encode(t, add_bos=False)
     else:
-        ids_pre = tokenizer.encode(pre, add_special_tokens=False)
-        ids_post = tokenizer.encode(post, add_special_tokens=False)
-    input_ids = np.asarray(
-        ids_pre + [pad_id] * n_video_tokens + ids_post, np.int64)
-    return input_ids, (len(ids_pre), n_video_tokens)
+        def enc(t):
+            return tokenizer.encode(t, add_special_tokens=False)
+
+    ids: list = []
+    spans = []
+    rest = prompt
+    for kind, cnt in zip(kinds, counts):
+        pad_tok = VIDEO_PAD if kind == "video" else IMAGE_PAD
+        pad_id = (_video_pad_id(tokenizer, cfg) if kind == "video"
+                  else _image_pad_id(tokenizer, cfg))
+        pre, rest = rest.split(pad_tok, 1)
+        ids.extend(enc(pre))
+        spans.append((len(ids), cnt, kind))
+        ids.extend([pad_id] * cnt)
+    ids.extend(enc(rest))
+    return np.asarray(ids, np.int64), spans
 
 
 def visual_position_ids(input_ids: np.ndarray, video_span: Tuple[int, int]

@@ -155,6 +155,53 @@ class QwenPipeline:
             self._encode_cache[grid] = jax.jit(fn)
         return self._encode_cache[grid]
 
+    def _encode_image_fn(self, grid_hw):
+        key = ("image", grid_hw)
+        if key not in self._encode_cache:
+            from ..preprocess.image import qwen_device_preprocess
+
+            def fn(params, frames_u8):
+                patches = qwen_device_preprocess(frames_u8)
+                return vstream_qwen.encode_image(params, self.cfg, patches,
+                                                 grid_hw)
+            self._encode_cache[key] = jax.jit(fn)
+        return self._encode_cache[key]
+
+    def answer_image(self, image: np.ndarray, question: str,
+                     gen: Optional[GenerationConfig] = None) -> str:
+        """Single-image QA: full patch grid through the ViT + merger, no
+        Flash memory, standard Qwen2-VL mm rope (beyond the reference, whose
+        get_rope_index raises NotImplementedError on image tokens,
+        vstream_qwen2vl_model.py:864-866)."""
+        from ..models.flash_memory import mm_rope_positions
+        from ..preprocess.image import frame_hw, qwen_resize_u8, smart_resize
+        from ..preprocess.qwen_processor import build_mm_prompt
+        H, W = frame_hw(image)
+        nh, nw = smart_resize(H, W, factor=56, max_pixels=self.max_pixels)
+        frames_u8 = qwen_resize_u8([image], (nh, nw))
+        grid_hw = (nh // 14, nw // 14)
+        vis = self._encode_image_fn(grid_hw)(self.params,
+                                             jnp.asarray(frames_u8))
+
+        from ..preprocess.qwen_processor import _image_pad_id
+        input_ids, spans = build_mm_prompt(
+            self.cfg, self.tokenizer, question, [("image", grid_hw)])
+        start, n, _ = spans[0]
+        embeds = vstream_qwen.splice_video_embeds(
+            self.params, self.cfg, input_ids, vis.video_embeds,
+            pad_id=_image_pad_id(self.tokenizer, self.cfg))
+        positions, rope_delta = mm_rope_positions(
+            input_ids, [(start, np.asarray(vis.visual_positions))])
+        gen = gen or GenerationConfig(
+            max_new_tokens=128, eos_token_ids=(self.tokenizer.eos_token_id,))
+        decode_start = len(input_ids) + int(rope_delta)
+        out_ids = self.generator.generate(
+            embeds, jnp.asarray(positions)[:, None, :], gen,
+            decode_pos_start=decode_start)
+        text = self.tokenizer.decode(out_ids, skip_special_tokens=True)
+        return trim_stop_strings(
+            text, tuple(gen.stop_strings) or ("<|im_end|>",))
+
     def answer(self, frames: Sequence[np.ndarray], question: str,
                gen: Optional[GenerationConfig] = None, seed: int = 0) -> str:
         from ..preprocess.image import frame_hw, qwen_resize_u8, smart_resize

@@ -78,6 +78,98 @@ def preprocess_v1(conversations: List[dict], tokenizer,
     return input_ids, labels
 
 
+def preprocess_llama_2(conversations: List[dict], tokenizer,
+                       has_image: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Llama-2 chat tokenization with assistant-only supervision.
+
+    Mirrors preprocess_llama_2 (train.py:345-425): rounds split on '</s>',
+    the supervised span of each round starts after '[/INST] '."""
+    conv = conv_templates["llama_2"].copy()
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    src = conversations
+    if src and roles.get(src[0]["from"]) != conv.roles[0]:
+        src = src[1:]
+    for s in src:
+        conv.append_message(roles[s["from"]], s["value"])
+    prompt = conv.get_prompt()
+
+    def tok(text):
+        if has_image:
+            return tokenizer_image_token(text, tokenizer).tolist()
+        return list(tokenizer.encode(text))
+
+    input_ids = np.asarray(tok(prompt), np.int64)
+    labels = np.full_like(input_ids, IGNORE_INDEX)
+
+    sep = "[/INST] "
+    cur = 1 if len(input_ids) and input_ids[0] == getattr(
+        tokenizer, "bos_token_id", None) else 0
+    for r in prompt.split(conv.sep2):
+        if not r:
+            continue
+        full_round = r + conv.sep2
+        parts = full_round.split(sep)
+        round_len = len(tok(full_round)) - 1          # strip per-chunk BOS
+        if len(parts) == 2:
+            instruction_len = len(tok(parts[0] + sep)) - 1
+            labels[cur + instruction_len:cur + round_len] = \
+                input_ids[cur + instruction_len:cur + round_len]
+        cur += round_len
+    return input_ids, labels
+
+
+def preprocess_mpt(conversations: List[dict], tokenizer,
+                   has_image: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """MPT/ChatML-style tokenization with assistant-only supervision.
+
+    Mirrors preprocess_mpt (train.py:509-575): the prompt splits on the
+    '<|im_end|>' separator; chunks opening with the assistant role are
+    supervised past the role header (the reference regroups chunks into
+    [system+user+gpt] / [user+gpt] rounds before splitting on sep+role —
+    same spans, this walks the chunks directly)."""
+    conv = conv_templates["mpt"].copy()
+    roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+    src = conversations
+    if src and roles.get(src[0]["from"]) != conv.roles[0]:
+        src = src[1:]
+    for s in src:
+        conv.append_message(roles[s["from"]], s["value"])
+    prompt = conv.get_prompt()
+
+    def tok(text):
+        if has_image:
+            return tokenizer_image_token(text, tokenizer).tolist()
+        return list(tokenizer.encode(text))
+
+    input_ids = np.asarray(tok(prompt), np.int64)
+    labels = np.full_like(input_ids, IGNORE_INDEX)
+
+    cur = 1 if len(input_ids) and input_ids[0] == getattr(
+        tokenizer, "bos_token_id", None) else 0
+    chunks = prompt.split(conv.sep)
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        piece = chunk + conv.sep if i < len(chunks) - 1 else chunk
+        n = len(tok(piece)) - 1                       # strip per-chunk BOS
+        if chunk.startswith(conv.roles[1]):
+            ins = len(tok(conv.roles[1])) - 1
+            # the closing sep is supervised with the reply (the reference's
+            # round_len includes it, train.py:556)
+            labels[cur + ins:cur + n] = input_ids[cur + ins:cur + n]
+        cur += n
+    return input_ids, labels
+
+
+PREPROCESS_BY_VERSION = {
+    "v1": preprocess_v1,
+    "vicuna_v1": preprocess_v1,
+    "llama_2": preprocess_llama_2,
+    "mpt": preprocess_mpt,
+}
+
+
 def preprocess_plain(conversations: List[dict], tokenizer
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Pretrain-style: '<image>\\ncaption' with only the caption supervised
@@ -152,9 +244,10 @@ class SupervisedVideoDataset:
                 if self.cfg.conv_version == "plain":
                     ids, labels = preprocess_plain(conv, self.tokenizer)
                 else:
-                    ids, labels = preprocess_v1(conv, self.tokenizer,
-                                                has_image="video" in item
-                                                or "image" in item)
+                    fn = PREPROCESS_BY_VERSION[self.cfg.conv_version]
+                    ids, labels = fn(conv, self.tokenizer,
+                                     has_image="video" in item
+                                     or "image" in item)
                 out = {"input_ids": ids, "labels": labels, "id": item.get("id", i)}
                 if "video" in item:
                     if self.cfg.feature_dir:
