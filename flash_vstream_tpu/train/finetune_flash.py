@@ -22,9 +22,10 @@ from ..core.config import IGNORE_INDEX
 
 
 def build_synthetic_dataset(path: str, n_items: int = 8, n_frames=6,
-                            side: int = 56):
+                            side: int = 56, n_images: int = 0):
     """n_frames: one fixed length, or a per-item list (mixed lengths
-    exercise the frame-count bucketing)."""
+    exercise the frame-count bucketing). n_images appends still-image items
+    (mixed image+video finetuning data)."""
     os.makedirs(os.path.join(path, "frames"), exist_ok=True)
     from PIL import Image
     rng = np.random.default_rng(0)
@@ -46,6 +47,17 @@ def build_synthetic_dataset(path: str, n_items: int = 8, n_frames=6,
                 {"from": "gpt", "value": f"It shows scene {i}."},
             ],
         })
+    for i in range(n_images):
+        name = f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+                        ).save(os.path.join(path, "frames", name))
+        items.append({
+            "id": n_items + i, "image": name,
+            "conversations": [
+                {"from": "human", "value": f"<image>\nDescribe image {i}."},
+                {"from": "gpt", "value": f"It shows object {i}."},
+            ],
+        })
     data_path = os.path.join(path, "train.json")
     with open(data_path, "w") as f:
         json.dump(items, f)
@@ -54,7 +66,8 @@ def build_synthetic_dataset(path: str, n_items: int = 8, n_frames=6,
 
 def preprocess_qwen_sample(item: dict, tokenizer, cfg, grid,
                            max_len: int = 512,
-                           system_message: str = "You are a helpful assistant."):
+                           system_message: str = "You are a helpful assistant.",
+                           kind: str = "video"):
     """Multi-turn ChatML ids + labels + video span.
 
     Mirrors the reference's hand-built token stream
@@ -62,20 +75,25 @@ def preprocess_qwen_sample(item: dict, tokenizer, cfg, grid,
     user turns are IGNORE; the FIRST user turn carries the expanded
     <|vision_start|><|video_pad|>*N<|vision_end|> block; every assistant turn
     supervises its answer tokens + <|im_end|> but not the role header or the
-    trailing newline."""
-    from ..models.vstream_qwen import visual_token_count
-    from ..preprocess.qwen_processor import (IM_END, IM_START, VIDEO_PAD,
+    trailing newline. kind="image" expands an <|image_pad|> block instead
+    (h*w//4 tokens — the full merged patch grid, no Flash memory)."""
+    from ..models.vstream_qwen import image_token_count, visual_token_count
+    from ..preprocess.qwen_processor import (IM_END, IM_START,
                                              VISION_END, VISION_START,
-                                             _video_pad_id)
+                                             _image_pad_id, _video_pad_id)
 
     def enc(text):
         if hasattr(tokenizer, "special_id"):
             return tokenizer.encode(text, add_bos=False)
         return tokenizer.encode(text, add_special_tokens=False)
 
-    pad_tok = _video_pad_id(tokenizer, cfg)
-    dam, csm = visual_token_count(cfg, *grid)
-    n_vis = dam + csm
+    if kind == "image":
+        pad_tok = _image_pad_id(tokenizer, cfg)
+        n_vis = image_token_count(grid[1], grid[2])
+    else:
+        pad_tok = _video_pad_id(tokenizer, cfg)
+        dam, csm = visual_token_count(cfg, *grid)
+        n_vis = dam + csm
 
     ids, labels = [], []
     system = enc(f"{IM_START}system\n{system_message}{IM_END}\n")
@@ -134,7 +152,6 @@ def run_training(args) -> dict:
     from .lora import (QWEN_TARGETS, init_lora_params, lora_views,
                        merge_lora)
     from .trainer import Trainer
-    from ..models.vstream_qwen import build_qwen_positions
 
     logger = build_logger("finetune_flash")
 
@@ -168,7 +185,14 @@ def run_training(args) -> dict:
         tokenizer = load_tokenizer(args.model_path)
 
     items = json.load(open(args.data_path))
-    mesh = create_mesh(dp=len(jax.devices()), tp=1)
+    if args.pp > 1 or args.sp > 1:
+        from ..parallel.sharding import create_train_mesh
+        mesh = create_train_mesh(pp=args.pp, sp=args.sp)
+        logger.info(f"mesh: {dict(mesh.shape)} "
+                    f"({'GPipe stages' if args.pp > 1 else 'ring attention'}"
+                    f" x data parallel)")
+    else:
+        mesh = create_mesh(dp=len(jax.devices()), tp=1)
     total_steps = args.max_steps or max(
         len(items) // args.grad_accum, 1) * args.epochs
     tcfg = dataclasses.replace(
@@ -204,6 +228,14 @@ def run_training(args) -> dict:
         return args.max_frames
 
     def bucket_of(item):
+        if "image" in item:
+            # still-image samples: frame rung 0 marks the image modality
+            # (mixed image+video finetuning; images bypass Flash memory)
+            from PIL import Image
+            with Image.open(os.path.join(args.video_dir, item["image"])) as f:
+                w, h = f.size
+            return (smart_resize(h, w, factor=56,
+                                 max_pixels=args.max_pixels), 0)
         path = os.path.join(args.video_dir, item["video"])
         h, w = probe_video_hw(path)
         n = min(probe_video_len(path), args.max_frames)
@@ -218,6 +250,25 @@ def run_training(args) -> dict:
 
     def prepare(item, bk):
         train_hw, target = bk
+        if target == 0:                            # image bucket
+            from PIL import Image
+            img = np.asarray(Image.open(os.path.join(
+                args.video_dir, item["image"])).convert("RGB"))
+            if img.shape[:2] != train_hw:
+                img = np.clip(_resize_bilinear(_to_float_chw(img), train_hw)
+                              * 255, 0, 255).transpose(1, 2, 0).astype(
+                    np.uint8)
+            # qwen_patchify pads the single frame across the temporal patch
+            patches, grid = qwen_preprocess([img],
+                                            max_pixels=args.max_pixels)
+            ids, labels, span = preprocess_qwen_sample(
+                item, tokenizer, cfg, grid, max_len, kind="image")
+            pad = max_len - len(ids)
+            seg = np.concatenate([np.zeros(len(ids), np.int32),
+                                  np.full(pad, -1, np.int32)])
+            ids = np.pad(ids, (0, pad))
+            labels = np.pad(labels, (0, pad), constant_values=IGNORE_INDEX)
+            return patches, grid, ids, labels, span, seg
         src = load_video(os.path.join(args.video_dir, item["video"]),
                          max_frames=target)
         frames = list(src)
@@ -241,8 +292,15 @@ def run_training(args) -> dict:
         labels = np.pad(labels, (0, pad), constant_values=IGNORE_INDEX)
         return patches, grid, ids, labels, span, seg
 
-    def make_loss(grid, span):
-        def one_sample(lora_params, base, patches, ids, labels, seg, key):
+    def make_loss(grid, span, kind="video"):
+        # n_vis (span[1]) is bucket-constant (fixed grid); the splice START
+        # is NOT — items in a bucket have different question lengths — so it
+        # rides the batch as a traced scalar (vis_start) and the splice +
+        # rope math use the dynamic forms. One compiled step per bucket.
+        n_vis = span[1]
+
+        def one_sample(lora_params, base, patches, ids, labels, seg,
+                       vis_start, key):
             # merge-free views: no full merged copy in HBM, backward only
             # touches the rank-r factors (train/lora.LoRAWeight). `base`
             # arrives as a jit ARGUMENT via the trainer's frozen tree —
@@ -255,21 +313,27 @@ def run_training(args) -> dict:
             lora_params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), lora_params)
             eff = lora_views(base, lora_params, alpha=alpha, rank=rank)
-            from ..models.vstream_qwen import encode_video
-            # frame-chunked + checkpointed ViT: at real shapes (240 frames
-            # @448px) a monolithic encode's saved activations cannot fit
-            # one chip; chunking over frames is exact (per-frame attention)
-            vis = encode_video(eff, cfg, patches, grid, key=key,
-                               vit_chunk=args.vit_chunk, vit_remat=True)
-            positions, _ = build_qwen_positions(max_len, span[0], span[1],
-                                                vis.visual_positions)
+            from ..models.vstream_qwen import encode_image, encode_video
+            if kind == "image":
+                # still image: full patch grid, no Flash memory, standard
+                # mm rope block (mm_grid_index) — build_qwen_positions
+                # splices any visual block by the same resume-at-max+1 rule
+                vis = encode_image(eff, cfg, patches, (grid[1], grid[2]))
+            else:
+                # frame-chunked + checkpointed ViT: at real shapes (240
+                # frames @448px) a monolithic encode's saved activations
+                # cannot fit one chip; chunking over frames is exact
+                # (per-frame attention)
+                vis = encode_video(eff, cfg, patches, grid, key=key,
+                                   vit_chunk=args.vit_chunk, vit_remat=True)
+            from ..models.vstream_qwen import (build_qwen_positions_dynamic,
+                                               splice_embeds_dynamic)
+            positions, _ = build_qwen_positions_dynamic(
+                max_len, vis_start, n_vis, vis.visual_positions)
             from ..models.llm import decoder_forward, embed_tokens, lm_head
             embeds = embed_tokens(eff["llm"], ids[None])
-            start, n_vis = span
-            embeds = jnp.concatenate([
-                embeds[:, :start],
-                vis.video_embeds[None].astype(embeds.dtype),
-                embeds[:, start + n_vis:]], axis=1)
+            embeds = splice_embeds_dynamic(embeds, vis.video_embeds,
+                                           vis_start)
             # group 4 + mlp chunk 1024: the peak-minimizing remat settings
             # from the AOT memory_analysis sweep at production shapes
             h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
@@ -288,30 +352,87 @@ def run_training(args) -> dict:
             logits = lm_head(eff["llm"], cfg.llm, h)
             return cross_entropy_loss(logits, labels[None])
 
+        def encode_one(eff, patches, ids, vis_start, key):
+            """Visual encode + splice + positions for ONE sample (vmapped);
+            returns ([S, D] embeds, [3, S] positions) for the batched
+            decoder used by the pp/sp paths."""
+            from ..models.llm import embed_tokens
+            from ..models.vstream_qwen import (build_qwen_positions_dynamic,
+                                               encode_image, encode_video,
+                                               splice_embeds_dynamic)
+            if kind == "image":
+                vis = encode_image(eff, cfg, patches, (grid[1], grid[2]))
+            else:
+                vis = encode_video(eff, cfg, patches, grid, key=key,
+                                   vit_chunk=args.vit_chunk, vit_remat=True)
+            positions, _ = build_qwen_positions_dynamic(
+                max_len, vis_start, n_vis, vis.visual_positions)
+            embeds = embed_tokens(eff["llm"], ids[None])
+            embeds = splice_embeds_dynamic(embeds, vis.video_embeds,
+                                           vis_start)
+            return embeds[0], positions[:, 0, :]
+
+        def loss_fn_mp(lora_params, batch, key, base):
+            """pp/sp loss: per-sample visual encode (vmapped), then ONE
+            batched decoder under shard_map — GPipe stages or a ring over
+            the sequence, composing with the dp axis (manual-subset
+            shard_map; the outer pjit keeps batch/ZeRO shardings)."""
+            from ..models.llm import (cross_entropy_loss as ce2, lm_head)
+            from ..parallel.pipeline import pipeline_decoder_forward
+            from ..parallel.sequence import sp_decoder_forward
+            B = batch["ids"].shape[0]
+            lp16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                lora_params)
+            eff = lora_views(base, lp16, alpha=alpha, rank=rank)
+            embeds, pos = jax.vmap(
+                encode_one, in_axes=(None, 0, 0, 0, 0))(
+                eff, batch["patches"], batch["ids"], batch["vis_start"],
+                jax.random.split(key, B))
+            pos = pos.transpose(1, 0, 2)              # [3, B, S]
+            if args.pp > 1:
+                h = pipeline_decoder_forward(
+                    eff["llm"], cfg.llm, embeds, pos, mesh=mesh,
+                    n_micro=B, segment_ids=batch["seg"], remat=True)
+            else:
+                h = sp_decoder_forward(
+                    eff["llm"], cfg.llm, embeds, pos, mesh=mesh,
+                    segment_ids=batch["seg"], remat=True)
+            if max_len * cfg.llm.vocab_size > 1 << 26:
+                from ..models.llm import cross_entropy_loss_chunked
+                return cross_entropy_loss_chunked(eff["llm"], cfg.llm, h,
+                                                  batch["labels"], chunk=512)
+            return ce2(lm_head(eff["llm"], cfg.llm, h), batch["labels"])
+
         def loss_fn(lora_params, batch, key, base):
             # batch leaves [B, ...]; B = per-shard bsz x dp (the trainer
             # shards this dim over the dp mesh axis)
             B = batch["ids"].shape[0]
             losses = jax.vmap(one_sample,
-                              in_axes=(None, None, 0, 0, 0, 0, 0))(
+                              in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
                 lora_params, base, batch["patches"], batch["ids"],
-                batch["labels"], batch["seg"], jax.random.split(key, B))
+                batch["labels"], batch["seg"], batch["vis_start"],
+                jax.random.split(key, B))
             return jnp.mean(losses)
-        return loss_fn
+        return loss_fn_mp if (args.pp > 1 or args.sp > 1) else loss_fn
 
     # one compiled step per bucket (grid+span fixed within a bucket); the
     # largest bucket builds the Trainer, the rest share its state
     order = sorted(buckets, key=lambda hw: -len(buckets[hw]))
     first_hw = order[0]
     first = prepare(buckets[first_hw][0], first_hw)
-    trainer = Trainer(make_loss(first[1], first[4]), lora, tcfg, mesh=mesh,
-                      frozen=params)
+
+    def kind_of(bk):
+        return "image" if bk[1] == 0 else "video"
+
+    trainer = Trainer(make_loss(first[1], first[4], kind_of(first_hw)), lora,
+                      tcfg, mesh=mesh, frozen=params)
     step_fns = {first_hw: trainer._train_step}
 
     def step_fn_for(hw):
         if hw not in step_fns:
             probe = prepare(buckets[hw][0], hw)
-            step_fns[hw] = trainer.compile_step(make_loss(probe[1], probe[4]))
+            step_fns[hw] = trainer.compile_step(
+                make_loss(probe[1], probe[4], kind_of(hw)))
         return step_fns[hw]
 
     start_step = 0
@@ -351,12 +472,14 @@ def run_training(args) -> dict:
                     bucket_items[cursors[hw] % len(bucket_items)], hw))
                 cursors[hw] += 1
             micro.append(tuple(np.stack([r[i] for r in rows])
-                               for i in (0, 2, 3, 5)))
+                               for i in (0, 2, 3, 5))
+                         + (np.asarray([r[4][0] for r in rows], np.int32),))
         batch = {
             "patches": jnp2.asarray(np.stack([m[0] for m in micro])),
             "ids": jnp2.asarray(np.stack([m[1] for m in micro])),
             "labels": jnp2.asarray(np.stack([m[2] for m in micro])),
             "seg": jnp2.asarray(np.stack([m[3] for m in micro])),
+            "vis_start": jnp2.asarray(np.stack([m[4] for m in micro])),
         }
         return hw, batch
 
@@ -424,6 +547,16 @@ def make_parser():
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--learning-rate", type=float, default=8e-4)
     p.add_argument("--grad-accum", type=int, default=8)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over a 'pp' mesh "
+                        "axis; layers shard across stages, microbatches "
+                        "flow over ICI). Composes with dp = devices/pp. "
+                        "Requires num_layers %% pp == 0")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel width (ring attention over an "
+                        "'sp' mesh axis; each chip holds seq/sp tokens — "
+                        "the long-video lever). Composes with dp = "
+                        "devices/sp. Requires max_len %% sp == 0")
     p.add_argument("--zero-stage", type=int, default=2, choices=(1, 2, 3),
                    help="3 = FSDP (params + frozen base dp-sharded, "
                         "reference deepspeed/zero3_config.json); LoRA "

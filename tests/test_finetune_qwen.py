@@ -93,6 +93,60 @@ def test_qwen_frame_rung_buckets(tmp_path):
     assert len({l["bucket"] for l in lines}) == 2
 
 
+def test_build_qwen_positions_dynamic_matches_static():
+    """The traced-offset rope builder equals the static one at every start
+    (bucket items have different question lengths; one compiled step must
+    serve all of them)."""
+    import jax.numpy as jnp
+    from flash_vstream_tpu.models.vstream_qwen import (
+        build_qwen_positions, build_qwen_positions_dynamic, mm_grid_index)
+    vis = jnp.asarray(mm_grid_index(2, 4, 4), jnp.int32)
+    n_vis = vis.shape[1]
+    S = 64
+    for start in (0, 3, 17, S - n_vis):
+        ps, ds = build_qwen_positions(S, start, n_vis, vis)
+        pd, dd = build_qwen_positions_dynamic(S, jnp.int32(start), n_vis, vis)
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(pd))
+        assert int(ds) == int(dd)
+
+
+def test_splice_embeds_dynamic():
+    import jax.numpy as jnp
+    from flash_vstream_tpu.models.vstream_qwen import splice_embeds_dynamic
+    emb = jnp.zeros((1, 10, 4))
+    vis = jnp.ones((3, 4))
+    out = splice_embeds_dynamic(emb, vis, jnp.int32(2))
+    assert np.asarray(out[0, 2:5]).sum() == 12
+    assert np.asarray(out).sum() == 12
+
+
+def test_qwen_mixed_image_video_training(tmp_path):
+    """Mixed image+video finetuning data: image items land on the rung-0
+    bucket (encode_image, no Flash memory), video items on frame rungs; both
+    train through their own compiled steps in one run (beyond the reference,
+    whose get_rope_index raises NotImplementedError on images)."""
+    from flash_vstream_tpu.train.finetune_flash import build_synthetic_dataset
+    out = str(tmp_path / "run")
+    data_path, video_dir = build_synthetic_dataset(
+        str(tmp_path / "synthetic"), n_items=2, n_frames=4, n_images=2)
+    args = make_parser().parse_args([
+        "--dry-run", "--output-dir", out,
+        "--data-path", data_path, "--video-dir", video_dir,
+        "--max-steps", "4", "--grad-accum", "1",
+        "--max-frames", "4", "--frame-bucket", "4",
+        "--max-pixels", str(56 * 56),
+        "--learning-rate", "5e-3", "--save-steps", "100",
+        "--lora-rank", "2", "--lora-alpha", "4",
+    ])
+    res = run_training(args)
+    assert all(np.isfinite(l) for l in res["losses"])
+    lines = [json.loads(l)
+             for l in open(os.path.join(out, "scalars.jsonl"))]
+    buckets = {l["bucket"] for l in lines}
+    assert len(buckets) == 2                 # image bucket + video bucket
+    assert any(b.endswith("x0f") for b in buckets)
+
+
 def test_llava_features_eval_worker(tmp_path):
     """Features-based eval worker: .safetensors features -> predictions."""
     feat_dir = tmp_path / "features"
