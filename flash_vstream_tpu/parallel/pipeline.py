@@ -126,12 +126,18 @@ def pipeline_decoder_forward(
     def wrapped(stage_layers, xm, cosm, sinm, *seg):
         return run(stage_layers, xm, cosm, sinm, seg[0] if seg else None)
 
+    # composition with other mesh axes (dp x pp training): only 'pp' is
+    # manual here; remaining axes (dp/tp) stay automatic, so the outer
+    # pjit's batch/ZeRO shardings pass through untouched
+    extra = ({"axis_names": {"pp"}} if set(mesh.axis_names) != {"pp"}
+             else {})
     ys = shard_map(
         wrapped, mesh=mesh,
         in_specs=(layer_specs, P(), P(), P()) + ((P(),) if segm is not None
                                                  else ()),
         out_specs=P(),
         check_vma=False,
+        **extra,
     )(layers, xm, cosm, sinm, *seg_args)
 
     h = ys.reshape(B, S, D)

@@ -159,6 +159,11 @@ def sp_decoder_forward(
     def wrapped(layers, x, cos, sin, *seg):
         return run(layers, x, cos, sin, seg[0] if seg else None)
 
+    # composition with other mesh axes (dp x sp training): only 'sp' is
+    # manual; dp stays automatic so the outer pjit's batch/ZeRO shardings
+    # pass through
+    extra = ({"axis_names": {"sp"}} if set(mesh.axis_names) != {"sp"}
+             else {})
     ys = jax.shard_map(
         wrapped, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(), params["layers"]),
@@ -166,6 +171,7 @@ def sp_decoder_forward(
         + ((P(None, "sp"),) if segment_ids is not None else ()),
         out_specs=P(None, "sp"),
         check_vma=False,
+        **extra,
     )(params["layers"], input_embeds, cos, sin, *seg_args)
 
     return rms_norm(ys, params["final_norm"], cfg.rms_norm_eps)

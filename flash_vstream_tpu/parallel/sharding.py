@@ -34,6 +34,23 @@ def create_mesh(dp: Optional[int] = None, tp: int = 1,
     return Mesh(arr, ("dp", "tp"))
 
 
+def create_train_mesh(dp: Optional[int] = None, pp: int = 1, sp: int = 1,
+                      devices: Optional[Sequence] = None) -> Mesh:
+    """dp x (pp | sp) training mesh. pp/sp lay out CONTIGUOUS device ranges
+    (minor-most axis) so the stage/ring `ppermute`s are nearest-neighbor
+    hops on the ICI torus; dp is the outer axis (gradient psum)."""
+    assert not (pp > 1 and sp > 1), "pick one of pp/sp per run"
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    inner = max(pp, sp)
+    name = "pp" if pp > 1 else "sp" if sp > 1 else "tp"
+    if dp is None:
+        dp = n // inner
+    assert dp * inner <= n, f"dp({dp}) x {name}({inner}) > devices({n})"
+    arr = np.asarray(devices[:dp * inner]).reshape(dp, inner)
+    return Mesh(arr, ("dp", name))
+
+
 # (regex on '/'-joined path, spec builder given array ndim)
 # Specs name only the dims that are sharded; all others replicate.
 def _spec(*axes: Optional[str]) -> P:
@@ -80,11 +97,18 @@ def param_pspec(path: str, ndim: int,
     return P()  # replicate
 
 
+def _fit_mesh(spec: P, mesh: Mesh) -> P:
+    """Drop spec axes the mesh doesn't have (e.g. 'tp' rules on a dp x pp
+    training mesh): a missing axis means that dim replicates."""
+    return P(*(a if a in mesh.axis_names else None for a in spec))
+
+
 def param_shardings(mesh: Mesh, params,
                     rules: Sequence[Tuple[str, P]] = LLM_RULES):
     """NamedSharding tree matching the param tree."""
     def one(path, x):
-        return NamedSharding(mesh, param_pspec(path_str(path), x.ndim, rules))
+        spec = param_pspec(path_str(path), x.ndim, rules)
+        return NamedSharding(mesh, _fit_mesh(spec, mesh))
     return jax.tree_util.tree_map_with_path(one, params)
 
 
@@ -102,7 +126,8 @@ def zero_shardings(mesh: Mesh, params,
     dp = mesh.shape["dp"]
 
     def one(path, x):
-        spec = list(param_pspec(path_str(path), x.ndim, rules))
+        spec = list(_fit_mesh(param_pspec(path_str(path), x.ndim, rules),
+                              mesh))
         spec = spec + [None] * (x.ndim - len(spec))
         if dp > 1:
             # pick the largest dim not already sharded and divisible by dp
