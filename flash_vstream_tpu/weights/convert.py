@@ -429,3 +429,60 @@ def load_qwen_checkpoint(model_dir: str, cfg, dtype=jnp.float32) -> dict:
         "vit": convert_qwen_vit(sd, cfg.vit, dtype=dtype),
         "llm": convert_llama(sd, cfg.llm, dtype=dtype),
     }
+
+
+def qwen_config_from_hf(model_dir_or_dict) -> "VStreamQwenConfig":
+    """Build a VStreamQwenConfig from an HF checkpoint's config.json
+    (directory path or already-parsed dict), so any released size (2B/7B/
+    custom) converts without hand-written configs. Mirrors the field layout
+    of FlashVStreamQwen2VLConfig (vstream_qwen2vl_model.py:430-462)."""
+    import json
+
+    from ..core.config import FlashMemoryConfig, VStreamQwenConfig
+    if isinstance(model_dir_or_dict, dict):
+        d = model_dir_or_dict
+    else:
+        with open(os.path.join(model_dir_or_dict, "config.json")) as f:
+            d = json.load(f)
+    # newer HF nests the text fields under text_config
+    t = d.get("text_config", d)
+    v = d["vision_config"]
+    embed_dim = v.get("embed_dim", v.get("hidden_size", 1280))
+    vit = VitConfig(
+        hidden_size=embed_dim,
+        intermediate_size=int(embed_dim * v.get("mlp_ratio", 4)),
+        num_layers=v.get("depth", 32),
+        num_heads=v.get("num_heads", 16),
+        patch_size=v.get("patch_size", 14),
+        temporal_patch_size=v.get("temporal_patch_size", 2),
+        spatial_merge_size=v.get("spatial_merge_size", 2),
+        in_channels=v.get("in_channels", 3),
+        use_rope_2d=True,
+        merger_out_dim=t["hidden_size"],
+        hidden_act="quick_gelu",
+    )
+    mrope = tuple((t.get("rope_scaling") or {}).get(
+        "mrope_section", (16, 24, 24)))
+    llm = LLMConfig(
+        vocab_size=t["vocab_size"],
+        hidden_size=t["hidden_size"],
+        intermediate_size=t["intermediate_size"],
+        num_layers=t["num_hidden_layers"],
+        num_heads=t["num_attention_heads"],
+        num_kv_heads=t.get("num_key_value_heads",
+                           t["num_attention_heads"]),
+        max_position_embeddings=t.get("max_position_embeddings", 32768),
+        rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+        rope_theta=t.get("rope_theta", 1e6),
+        attention_bias=True,
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+        mrope_sections=mrope,
+    )
+    fm = (FlashMemoryConfig.from_dict(v["flash_memory_config"])
+          if v.get("flash_memory_config") else FlashMemoryConfig())
+    return VStreamQwenConfig(
+        vit=vit, llm=llm, flash_memory=fm,
+        image_token_id=d.get("image_token_id", 151655),
+        video_token_id=d.get("video_token_id", 151656),
+        vision_start_token_id=d.get("vision_start_token_id", 151652),
+    )
