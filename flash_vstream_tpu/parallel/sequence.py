@@ -156,7 +156,25 @@ def sp_decoder_forward(
 
     seg_args = (segment_ids,) if segment_ids is not None else ()
 
+    # XLA CPU's AllReducePromotion pass CHECK-fails while cloning a bf16
+    # all-reduce ("Invalid binary instruction opcode copy"), and the grad of
+    # the replicated param in_spec below is exactly such a psum when params
+    # are bf16. On the CPU backend only, ship the params through f32 so the
+    # transpose's psum is f32 (exact: fwd casts back to the original dtype
+    # before any compute); TPU keeps bf16 collectives on ICI.
+    layers_in = params["layers"]
+    layer_dtypes = jax.tree.map(lambda a: a.dtype, layers_in)
+    cpu_f32_detour = jax.default_backend() == "cpu" and any(
+        d == jnp.bfloat16 for d in jax.tree.leaves(layer_dtypes))
+    if cpu_f32_detour:
+        layers_in = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16
+            else a, layers_in)
+
     def wrapped(layers, x, cos, sin, *seg):
+        if cpu_f32_detour:
+            layers = jax.tree.map(lambda a, d: a.astype(d),
+                                  layers, layer_dtypes)
         return run(layers, x, cos, sin, seg[0] if seg else None)
 
     # composition with other mesh axes (dp x sp training): only 'sp' is
@@ -166,12 +184,12 @@ def sp_decoder_forward(
              else {})
     ys = jax.shard_map(
         wrapped, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(), params["layers"]),
+        in_specs=(jax.tree.map(lambda _: P(), layers_in),
                   P(None, "sp"), P(None, "sp"), P(None, "sp"))
         + ((P(None, "sp"),) if segment_ids is not None else ()),
         out_specs=P(None, "sp"),
         check_vma=False,
         **extra,
-    )(params["layers"], input_embeds, cos, sin, *seg_args)
+    )(layers_in, input_embeds, cos, sin, *seg_args)
 
     return rms_norm(ys, params["final_norm"], cfg.rms_norm_eps)
