@@ -32,6 +32,23 @@ import time
 import numpy as np
 
 
+def compile_with_retries(call, retries=4, sleep_s=30):
+    """First call of a jitted fn = compile + run. The remote compile service
+    drops long compiles with a transport error (broken pipe ~30 min in) when
+    contended; retry — the persistent compilation cache keeps any compile
+    that did finish, so a retry is cheap once the server recovers."""
+    import jax
+    for attempt in range(retries):
+        try:
+            return call()
+        except jax.errors.JaxRuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or attempt == retries - 1:
+                raise
+            print(f"bench: compile transport error (attempt {attempt + 1}): "
+                  f"{str(e).splitlines()[0]}", file=sys.stderr)
+            time.sleep(sleep_s)
+
+
 def device_compute_fps(jax, jnp, cfg, params, clip, side, iters, trials):
     """Chained scan-in-jit ingest rate (frames/sec of pure device compute)."""
     from flash_vstream_tpu.models.flash_memory import (flash_stream_update,
@@ -86,7 +103,8 @@ def device_compute_fps(jax, jnp, cfg, params, clip, side, iters, trials):
         return acc
 
     jloop = jax.jit(loop)
-    float(jloop(params["vit"], state0, frames))        # compile + warmup
+    compile_with_retries(
+        lambda: float(jloop(params["vit"], state0, frames)))  # compile+warm
     dts = []
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -116,7 +134,7 @@ def calibration_tflops(jax, jnp):
         return y[0, 0].astype(jnp.float32)
 
     f = jax.jit(mm)
-    float(f(a))
+    compile_with_retries(lambda: float(f(a)))
     t0 = time.perf_counter()
     float(f(a))
     dt = (time.perf_counter() - t0) / 8

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--modes", type=str,
                     default="combqkv,fusedqkv,base,xlaattn,onecall")
     ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument("--single-layer", action="store_true",
+                    help="time ONE block body chained over 32*iters scan "
+                         "steps instead of the full 32-layer stack: the "
+                         "compiled program is ~32x smaller (a contended "
+                         "remote compile service drops >30min compiles), "
+                         "and per-layer cost x num_layers approximates the "
+                         "full encode for VARIANT COMPARISON")
     args = ap.parse_args()
 
     import jax
@@ -188,7 +195,20 @@ def main():
         return body
 
     def run_mode(mode):
-        if mode == "base":
+        if args.single_layer:
+            body = make_blocks(mode)
+
+            def loop(params_, patches):
+                layer0 = jax.tree.map(lambda a: a[0], params_["layers"])
+
+                def scan_body(x, i):
+                    x, _ = body(x, layer0)
+                    return x, ()
+                x = dense(patches[0], params_["patch_embed"]["w"])
+                x, _ = jax.lax.scan(
+                    scan_body, x, jnp.arange(args.iters * cfg.num_layers))
+                return x[0, 0].astype(jnp.float32)
+        elif mode == "base":
             def encode(p):
                 return qwen_vit_blocks_frames(
                     params, cfg, p, t_full=t, hw_full=(g, g),
@@ -201,13 +221,14 @@ def main():
                 x, _ = jax.lax.scan(body, x, params["layers"])
                 return x
 
-        def loop(params_, patches):
-            def scan_body(acc, i):
-                h = encode(patches[i % n_bank])
-                return acc + h[0, 0].astype(jnp.float32), ()
-            acc, _ = jax.lax.scan(scan_body, jnp.float32(0),
-                                  jnp.arange(args.iters))
-            return acc
+        if not args.single_layer:
+            def loop(params_, patches):
+                def scan_body(acc, i):
+                    h = encode(patches[i % n_bank])
+                    return acc + h[0, 0].astype(jnp.float32), ()
+                acc, _ = jax.lax.scan(scan_body, jnp.float32(0),
+                                      jnp.arange(args.iters))
+                return acc
 
         jloop = jax.jit(loop)
         for attempt in range(args.retries):

@@ -163,7 +163,11 @@ def main():
             st, out = flash_stream_update(
                 fm, c["state"], x["x"], x["sx"], jnp.int32(t_clip),
                 jax.random.PRNGKey(0))
-            return out.tem_x
+            # return the FULL snapshot: returning only tem_x lets XLA
+            # dead-code-eliminate the whole spatial path (DAM retrieval +
+            # spa assembly) and underreport this stage ~2.6x
+            return (out.spa_positions, out.tem_positions, out.spa_x,
+                    out.tem_x)
         results["memory_update_ms"] = 1e3 * timed_scan(
             update, xs, {"state": state}, args.iters, "flash memory update")
 
@@ -173,6 +177,50 @@ def main():
         results["merger_ms"] = 1e3 * timed_scan(
             lambda v, i, c: patch_merger(c["vp"], v), vis, {"vp": vparams},
             args.iters, "patch merger (full memory)")
+
+    if "previt" in stages:
+        # composite: device preprocess -> pool -> ViT (no memory). Localizes
+        # the full-vs-sum-of-parts gap.
+        frames = jnp.asarray(rng.integers(
+            0, 255, (4, clip, nh, nw, 3), dtype=np.uint8))
+
+        def previt(f, i, c):
+            p = qwen_device_preprocess(f)
+            small, _ = qwen_temporal_pool(p, (t_clip, gh, gw))
+            allp = jnp.concatenate([p, small], axis=0)
+            return qwen_vit_blocks_frames(
+                c["vp"], vit, allp, t_full=t_clip, hw_full=(gh, gw),
+                t_small=t_clip, hw_small=(gh // 2, gw // 2))
+        results["previt_ms"] = 1e3 * timed_scan(
+            previt, frames, {"vp": vparams}, args.iters,
+            "pre+pool+ViT", flops_per_iter=vit_flops)
+
+    if "vitmem" in stages:
+        # composite: ViT -> memory update (no preprocess)
+        state = init_flash_state(fm, p_full, p_small, D, bank_size=1024)
+        state = state._replace(
+            tem_x=jnp.asarray(rng.normal(
+                size=state.tem_x.shape), state.tem_x.dtype),
+            tem_valid=jnp.ones_like(state.tem_valid),
+            tem_weights=jnp.ones_like(state.tem_weights),
+            n_frames=jnp.int32(600))
+
+        def vitmem(p, i, c):
+            small, _ = qwen_temporal_pool(p, (t_clip, gh, gw))
+            allp = jnp.concatenate([p, small], axis=0)
+            hidden = qwen_vit_blocks_frames(
+                c["vp"], vit, allp, t_full=t_clip, hw_full=(gh, gw),
+                t_small=t_clip, hw_small=(gh // 2, gw // 2))
+            x = hidden[:S].reshape(t_clip, p_full, D)
+            sx = hidden[S:S + S_small].reshape(t_clip, p_small, D)
+            st, out = flash_stream_update(fm, c["state"], x, sx,
+                                          jnp.int32(t_clip),
+                                          jax.random.PRNGKey(0))
+            return (out.spa_positions, out.tem_positions, out.spa_x,
+                    out.tem_x)
+        results["vitmem_ms"] = 1e3 * timed_scan(
+            vitmem, patches, {"vp": vparams, "state": state}, args.iters,
+            "ViT+memory", flops_per_iter=vit_flops)
 
     if "full" in stages:
         state = init_flash_state(fm, p_full, p_small, D, bank_size=1024)
