@@ -202,7 +202,7 @@ def main():
 
     clip = int(os.environ.get("BENCH_CLIP", "8"))
     side = int(os.environ.get("BENCH_SIDE", "224"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
     trials = int(os.environ.get("BENCH_TRIALS", "5"))
 
     calib = calibration_tflops(jax, jnp)

@@ -382,11 +382,19 @@ def flash_stream_update(
     # order (spatial_enhance, model.py:214-216); slots beyond n_frames carry
     # duplicates of the earliest frame and are sliced off host-side.
     n_total = state.n_frames + n_new
-    temporal_order = jnp.argsort(
-        jnp.where(bank_pos >= 0, bank_pos, jnp.iinfo(jnp.int32).max))
     rank = jnp.minimum(jnp.arange(t_dam), jnp.maximum(n_total, 1) - 1)
     is_short_dam = n_total <= t_dam
-    idx = jnp.where(is_short_dam, temporal_order[rank], idx)
+    if t_dam <= B:
+        # short stream implies the ring buffer has not wrapped (n_total <=
+        # t_dam <= bank size), so slot s holds global frame s and the
+        # temporal order is the identity — the [B]-wide argsort this used
+        # to run every clip is latency-bound dead weight on TPU.
+        idx_short = rank
+    else:
+        temporal_order = jnp.argsort(
+            jnp.where(bank_pos >= 0, bank_pos, jnp.iinfo(jnp.int32).max))
+        idx_short = temporal_order[rank]
+    idx = jnp.where(is_short_dam, idx_short, idx)
     from ..kernels.gather_rows import gather_rows
     spa_x = gather_rows(bank, idx)
     spa_positions = bank_pos[idx]

@@ -12,11 +12,18 @@ import jax.numpy as jnp
 
 
 def sq_euclidean_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Squared Euclidean distance matrix. a: [n, d], b: [m, d] -> [n, m]."""
-    a = a.astype(jnp.float32)
-    b = b.astype(jnp.float32)
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)          # [n, 1]
-    b2 = jnp.sum(b * b, axis=-1)[None, :]                # [1, m]
+    """Squared Euclidean distance matrix. a: [n, d], b: [m, d] -> [n, m].
+
+    All products accumulate in f32 via preferred_element_type WITHOUT
+    casting the operands first: an .astype(f32) before the dot both
+    materializes an f32 copy of the operand in HBM (b is the full pooled
+    bank in DAM retrieval — 168 MB bf16, 336 MB cast) and drops the MXU to
+    its f32 rate (~1/8 of bf16). f32 inputs take the identical path.
+    """
+    a2 = jnp.einsum("nd,nd->n", a, a,
+                    preferred_element_type=jnp.float32)[:, None]   # [n, 1]
+    b2 = jnp.einsum("md,md->m", b, b,
+                    preferred_element_type=jnp.float32)[None, :]   # [1, m]
     ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # [n, m] (MXU)
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 

@@ -38,8 +38,14 @@ class KMeansResult(NamedTuple):
 
 
 def _assign(x, centroids, valid):
-    """Labels for valid rows; invalid rows get label 0 (masked out later)."""
-    d = sq_euclidean_distance(x, centroids)              # [T, k]
+    """Labels for valid rows; invalid rows get label 0 (masked out later).
+
+    The distance matmul runs in x's OWN dtype (f32 accumulate): bf16 memory
+    banks keep the MXU at its bf16 rate (an upcast would both run f32 MXU
+    passes and double the HBM read of the dominant [T, P*D] operand); f32
+    inputs — every golden/oracle test — take the exact f32 path.
+    """
+    d = sq_euclidean_distance(x, centroids.astype(x.dtype))        # [T, k]
     labels = jnp.argmin(d, axis=1).astype(jnp.int32)
     labels = jnp.where(valid, labels, 0)
     min_d = jnp.min(d, axis=1)
@@ -50,8 +56,14 @@ def _update(x, weights, valid, labels, k, old_centroids):
     onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
     onehot = onehot * valid[:, None].astype(jnp.float32)          # [T, k]
     w = (weights * valid).astype(jnp.float32)                      # [T]
-    wx = x.astype(jnp.float32) * w[:, None]                        # [T, D]
-    weighted_sum = jnp.dot(onehot.T, wx,
+    # weighted_sum = onehot.T @ (w * x), computed as (onehot.T * w) @ x so
+    # the weight scaling lands on the TINY [k, T] factor and the big [T, D]
+    # operand stays in its own dtype (bf16 banks ride the bf16 MXU; the
+    # weighted one-hot is exact in f32 and rounds once to bf16 — the same
+    # rounding the bank itself carries). f32 inputs are bit-identical to
+    # the former onehot.T @ (x * w) form up to fp association.
+    wo = (onehot * w[:, None]).T                                   # [k, T]
+    weighted_sum = jnp.dot(wo.astype(x.dtype), x,
                            preferred_element_type=jnp.float32)     # [k, D]
     cluster_w = jnp.dot(onehot.T, w[:, None],
                         preferred_element_type=jnp.float32)[:, 0]  # [k]
@@ -128,7 +140,6 @@ def weighted_kmeans(
     per-cluster mean assigned position (used by the ordered variant).
     """
     T, D = x.shape
-    xf = x.astype(jnp.float32)
     if weights is None:
         weights = jnp.ones((T,), jnp.float32)
     weights = weights.astype(jnp.float32)
@@ -137,19 +148,24 @@ def weighted_kmeans(
     if init is None:
         if key is None:
             key = jax.random.PRNGKey(0)
-        init = init_centroids(xf, k, valid, key)
+        init = init_centroids(x, k, valid, key)
     centroids0 = init.astype(jnp.float32)
 
+    # x stays in its OWN dtype through the loop: centroids/stats accumulate
+    # in f32, but the two large [T, D] matmuls per Lloyd iteration (assign
+    # distances, centroid update) ride the bf16 MXU when the input is a bf16
+    # memory bank. A blanket upcast here measured ~2x on the streaming
+    # memory-update stage (f32 MXU passes + doubled HBM reads).
     def body(_, centroids):
-        labels, min_d = _assign(xf, centroids, valid)
-        new_c, _, nonempty = _update(xf, weights, valid, labels, k, centroids)
-        new_c = _repair_empty(xf, valid, labels, min_d, new_c, nonempty, k)
+        labels, min_d = _assign(x, centroids, valid)
+        new_c, _, nonempty = _update(x, weights, valid, labels, k, centroids)
+        new_c = _repair_empty(x, valid, labels, min_d, new_c, nonempty, k)
         return new_c
 
     centroids = jax.lax.fori_loop(0, iters, body, centroids0)
 
     # Final consistent assignment (labels/cluster stats match returned centroids).
-    labels, _ = _assign(xf, centroids, valid)
+    labels, _ = _assign(x, centroids, valid)
     onehot = (labels[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
     onehot = onehot * valid[:, None].astype(jnp.float32)
     w = weights * valid

@@ -221,7 +221,8 @@ def qwen_patch_norm(patch_size: int = 14, temporal_patch_size: int = 2,
 
 
 def qwen_device_preprocess(frames_u8, patch_size: int = 14,
-                           temporal_patch_size: int = 2, merge_size: int = 2):
+                           temporal_patch_size: int = 2, merge_size: int = 2,
+                           dtype=None):
     """Device-side fused preprocess: uint8 frames [T, H, W, 3] -> normalized
     patch rows [t*h*w, C*tp*ps*ps] (jnp ops, lives inside the ingest jit).
 
@@ -229,19 +230,27 @@ def qwen_device_preprocess(frames_u8, patch_size: int = 14,
     into a single XLA preprocessing graph' (BASELINE.json): the host ships raw
     uint8 (4x less PCIe/tunnel traffic than f32), normalization and window
     patchify fuse into the ViT's first matmul. T must be a multiple of
-    temporal_patch_size; H, W multiples of patch_size*merge_size."""
+    temporal_patch_size; H, W multiples of patch_size*merge_size.
+
+    Layout order matters on TPU: the window patchify is a 9-D transpose, so
+    it runs on the RAW uint8 bytes (1 B/elem) and the CLIP affine applies
+    LAST on the already-patchified rows via per-feature scale/shift vectors
+    (qwen_patch_norm) — normalizing first would push 4 bytes/elem through
+    the transpose engine. `dtype` (default bfloat16) is the output dtype;
+    downstream is the bf16 patch-embed matmul either way."""
     import jax.numpy as jnp
+    dtype = dtype or jnp.bfloat16
     T, H, W, C = frames_u8.shape
     tp, ps, m = temporal_patch_size, patch_size, merge_size
-    x = frames_u8.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(OPENAI_CLIP_MEAN)
-    std = jnp.asarray(OPENAI_CLIP_STD)
-    x = (x - mean) / std                              # [T, H, W, C]
+    x = frames_u8.astype(jnp.bfloat16)                # u8 values exact in bf16
     x = x.transpose(0, 3, 1, 2)                       # [T, C, H, W]
     t, h, w = T // tp, H // ps, W // ps
     x = x.reshape(t, tp, C, h // m, m, ps, w // m, m, ps)
     x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
-    return x.reshape(t * h * w, C * tp * ps * ps)
+    x = x.reshape(t * h * w, C * tp * ps * ps)
+    scale, shift = qwen_patch_norm(ps, tp, C)
+    return (x.astype(jnp.float32) * jnp.asarray(scale)
+            + jnp.asarray(shift)).astype(dtype)
 
 
 def qwen_preprocess(frames: Sequence[np.ndarray],

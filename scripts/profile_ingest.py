@@ -55,7 +55,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip", type=int, default=8)
     ap.add_argument("--side", type=int, default=224)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--stages", type=str, default="all",
                     help="comma list: pre,vit,mem,merge,full")
     ap.add_argument("--int8-vit", action="store_true",
