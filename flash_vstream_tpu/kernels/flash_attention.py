@@ -525,8 +525,15 @@ def flash_attention(
     on_tpu = jax.default_backend() == "tpu"
     static_offset = isinstance(q_offset, int) and q_offset == 0
     # The fused kernel pays off for long prefills/encodes; decode steps
-    # (Sq ~ 1) are bandwidth-bound matvecs where XLA is already optimal.
-    worth_fusing = q.shape[2] >= 128
+    # (Sq ~ 1) are bandwidth-bound matvecs where XLA is already optimal, and
+    # short frame-local encodes (Qwen ViT streams: 256/64 tokens per frame)
+    # measured FASTER through plain XLA attention — the [S, S] f32 scores
+    # are tiny and XLA fuses them into the surrounding layer, while the
+    # kernel only adds blocking/dispatch overhead (a 32-layer ingest ViT ran
+    # 104 -> 121 TF/s switching these shapes to XLA). Crossover measured at
+    # S ~ 512 on v5e (scripts/probe_attn_crossover.py): CLIP's 577-token
+    # frames and every causal prefill stay on the kernel.
+    worth_fusing = q.shape[2] >= 512
     if force_xla or not on_tpu or not static_offset or not worth_fusing:
         return xla_attention(q, k, v, causal=causal,
                              q_segment_ids=q_segment_ids,

@@ -195,20 +195,13 @@ def qwen_vit_blocks_frames(
         from .layers import apply_rope
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
-        # kernel choice is shape-dependent (measured, scripts/
-        # probe_vit_variants.py --single-layer on v5e): at the per-frame
-        # sequence lengths of streaming ingest (P=256 full / 64 small @224px)
-        # plain XLA attention runs the 32-layer stack at 121 TF/s vs 104 for
-        # the Pallas flash kernel — the kernel's VMEM blocking can't help a
-        # 256-token frame, it only adds dispatch overhead. The Pallas kernel
-        # wins on long flattened sequences (S>=1024/frame, e.g. >=448px
-        # stills), where [P, P] f32 scores stop fitting cheaply.
-        if P <= 512:
-            from ..kernels.flash_attention import xla_attention
-            out = xla_attention(q, k, v)
-        else:
-            from ..kernels.flash_attention import flash_attention
-            out = flash_attention(q, k, v)
+        # flash_attention dispatches by shape: at streaming ingest's
+        # frame-local lengths (P=256 full / 64 small @224px) it takes plain
+        # XLA attention (measured 121 vs 104 TF/s for the 32-layer stack,
+        # scripts/probe_vit_variants.py --single-layer), switching to the
+        # Pallas kernel past the S~512 crossover (448px+ frames).
+        from ..kernels.flash_attention import flash_attention
+        out = flash_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(T * P, D)
         out = dense(out, lp["attn"]["wo"]["w"], lp["attn"]["wo"].get("b"))
         return out.reshape(T, P, D)
