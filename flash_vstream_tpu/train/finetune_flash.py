@@ -197,7 +197,8 @@ def run_training(args) -> dict:
         len(items) // args.grad_accum, 1) * args.epochs
     tcfg = dataclasses.replace(
         recipes.qwen_lora(total_steps, args.grad_accum),
-        learning_rate=args.learning_rate, zero_stage=args.zero_stage)
+        learning_rate=args.learning_rate, zero_stage=args.zero_stage,
+        offload_moments=args.offload_moments)
 
     lora = init_lora_params(jax.random.PRNGKey(1), params,
                             rank=args.lora_rank, targets=QWEN_TARGETS)
@@ -562,6 +563,11 @@ def make_parser():
                         "reference deepspeed/zero3_config.json); LoRA "
                         "adapters are small, so stage 3 mainly shards the "
                         "frozen base across the dp mesh")
+    p.add_argument("--offload-moments", action="store_true",
+                   help="rest Adam moments in HOST memory between steps\n"
+                        "(pinned_host; reference zero*_offload.json): frees\n"
+                        "their HBM share for full-parameter finetunes at the\n"
+                        "cost of per-step PCIe streaming")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=240)

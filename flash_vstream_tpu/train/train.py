@@ -162,7 +162,8 @@ def run_training(args) -> dict:
     tcfg = (recipes.llava_pretrain if args.stage == "pretrain"
             else recipes.llava_finetune)(total_steps, args.grad_accum)
     import dataclasses
-    tcfg = dataclasses.replace(tcfg, zero_stage=args.zero_stage)
+    tcfg = dataclasses.replace(tcfg, zero_stage=args.zero_stage,
+                           offload_moments=args.offload_moments)
     if args.learning_rate:
         tcfg = dataclasses.replace(tcfg, learning_rate=args.learning_rate)
 
@@ -381,6 +382,11 @@ def make_parser():
                    help="1/2: dp-sharded Adam moments, replicated params "
                         "(reference zero2.json); 3: FSDP — params dp-sharded"
                         " too, gathered per layer on use (zero3.json)")
+    p.add_argument("--offload-moments", action="store_true",
+                   help="rest Adam moments in HOST memory between steps\n"
+                        "(pinned_host; reference zero*_offload.json): frees\n"
+                        "their HBM share for full-parameter finetunes at the\n"
+                        "cost of per-step PCIe streaming")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--synthetic-raw", action="store_true",
                    help="dry-run on raw frame dirs + images + text instead "

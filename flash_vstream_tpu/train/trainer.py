@@ -59,6 +59,13 @@ class TrainConfig:
     # layer scan and reduce-scatters grads — per-device param memory drops
     # ~dp-fold at the cost of per-layer gather traffic.
     zero_stage: int = 2
+    # Optimizer-state host offload (reference zero2_offload/zero3_offload
+    # deepspeed configs): Adam moments live in HOST memory between steps
+    # (pinned_host memory kind); each step streams them device-ward for the
+    # update and back. Frees the moments' HBM share (2 extra param copies)
+    # at the cost of PCIe traffic per step — the lever that buys full-7B
+    # finetunes headroom on 16 GB chips (docs/DEPLOYMENT.md memory table).
+    offload_moments: bool = False
 
 
 def _label_params(params, cfg: TrainConfig):
@@ -150,12 +157,44 @@ class Trainer:
 
         self.opt_sharding = opt_sharding_like(opt_state_shape)
 
+        # zero*_offload parity: moments' RESTING shardings get the host
+        # memory kind; the compiled step round-trips them to device memory
+        # around the optimizer update (jax memories API). On the CPU test
+        # backend host kind == device kind, so the plumbing is exercised
+        # with zero numerical difference.
+        self._host_kind = None
+        if cfg.offload_moments:
+            dev0 = self.mesh.devices.flat[0]
+            kinds = {m.kind for m in dev0.addressable_memories()}
+            for cand in ("pinned_host", "unpinned_host"):
+                if cand in kinds:
+                    self._host_kind = cand
+                    break
+        self.opt_sharding_device = self.opt_sharding
+        if self._host_kind is not None:
+            # only moment ARRAYS move to host; scalars (step count, empty
+            # states) stay device-resident — offloading them buys nothing
+            # and a pinned_host annotation on an SPMD scalar RET_CHECK-fails
+            # in XLA's partitioner
+            self.opt_sharding = jax.tree.map(
+                lambda s, a: (s.with_memory_kind(self._host_kind)
+                              if a.size > 1024 else s),
+                self.opt_sharding_device, opt_state_shape)
+
         with self.mesh:
             self.params = jax.jit(
                 lambda p: p, out_shardings=self.param_sharding)(params)
+            # memory-kind shardings can't ride jit out_shardings here: once
+            # any output carries a kind, jax annotates EVERY output's
+            # placement and XLA's SPMD partitioner RET_CHECK-fails on the
+            # optimizer's scalar count. Init on device, then device_put
+            # (outside jit) moves the resting moments to host memory.
             self.opt_state = jax.jit(
                 self.optimizer.init,
-                out_shardings=self.opt_sharding)(self.params)
+                out_shardings=self.opt_sharding_device)(self.params)
+            if self._host_kind is not None:
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self.opt_sharding)
         self.step = 0
 
         self._donate = (0, 1) if donate_params else (1,)
@@ -220,9 +259,66 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, jnp.mean(losses)
 
+        if self._host_kind is not None:
+            # Offloaded moments run as a TWO-PHASE step. Phase 1 (grad) never
+            # touches the optimizer state, so the moments are genuinely
+            # absent from HBM during the activation-heavy fwd/bwd — the
+            # actual peak-memory win of DeepSpeed's zero*_offload. Phase 2
+            # streams them device-ward, applies Adam, and rests them back on
+            # host. (In-jit device_put with memory kinds RET_CHECK-fails in
+            # the SPMD partitioner on this jaxlib; outside-jit placement is
+            # the portable path and costs one extra dispatch per step.)
+            def grad_step(params, batch, key, frozen=None):
+                batch = shard_batch(batch)
+                if accum == 1:
+                    _, sub = jax.random.split(key)
+                    loss, grads = micro_grads_of(params, jax.tree.map(
+                        lambda x: x[0], batch), sub, frozen)
+                    return grads, loss
+                def micro(carry, mb):
+                    acc, key = carry
+                    key, sub = jax.random.split(key)
+                    loss, grads = micro_grads_of(params, mb, sub, frozen)
+                    acc = jax.tree.map(lambda a, g: a + g / accum, acc, grads)
+                    return (acc, key), loss
+                zero = jax.tree.map(jnp.zeros_like, params)
+                (grads, _), losses = jax.lax.scan(micro, (zero, key), batch)
+                return grads, jnp.mean(losses)
+
+            def micro_grads_of(params, mb, sub, frozen):
+                if has_frozen:
+                    return jax.value_and_grad(loss_fn)(params, mb, sub,
+                                                       frozen)
+                return jax.value_and_grad(loss_fn)(params, mb, sub)
+
+            def update_step(params, opt_state, grads):
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state
+
+            grad_jit = jax.jit(grad_step)
+            update_jit = jax.jit(
+                update_step,
+                out_shardings=(self.param_sharding,
+                               self.opt_sharding_device),
+                donate_argnums=(0, 1, 2))
+
+            def stepper(params, opt_state, batch, key, frozen=None):
+                if has_frozen:
+                    grads, loss = grad_jit(params, batch, key, frozen)
+                else:
+                    grads, loss = grad_jit(params, batch, key)
+                opt_dev = jax.device_put(opt_state, self.opt_sharding_device)
+                params, opt_state = update_jit(params, opt_dev, grads)
+                opt_state = jax.device_put(opt_state, self.opt_sharding)
+                return params, opt_state, loss
+
+            return stepper
+
         return jax.jit(
             train_step,
-            out_shardings=(self.param_sharding, self.opt_sharding, None),
+            out_shardings=(self.param_sharding, self.opt_sharding_device,
+                           None),
             donate_argnums=self._donate)
 
     def load_state(self, params, opt_state):

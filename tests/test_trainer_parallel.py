@@ -240,3 +240,30 @@ def test_zero3_fsdp_frozen_tree_sharded():
     rng = np.random.default_rng(0)
     loss = tr.run_step(make_batch(rng, 1, 4, 16), jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_offload_moments_matches_resident(rng):
+    """--offload-moments (zero*_offload parity): moments rest in the host
+    memory kind between steps and the training trajectory is identical to
+    the HBM-resident trainer (on the CPU mesh host kind == device kind, so
+    this pins the round-trip plumbing, shardings, and donation)."""
+    params = init_llm_params(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(np.random.default_rng(0), 2, 4, 16)
+
+    def run(offload):
+        cfg = TrainConfig(learning_rate=1e-2, total_steps=20, grad_accum=2,
+                          warmup_ratio=0.0, offload_moments=offload)
+        tr = Trainer(lm_loss, params, cfg, mesh=create_mesh(dp=4, tp=2))
+        losses = [tr.run_step(batch, jax.random.PRNGKey(i)) for i in range(5)]
+        return tr, losses
+
+    tr_res, losses_res = run(False)
+    tr_off, losses_off = run(True)
+    np.testing.assert_allclose(losses_off, losses_res, rtol=1e-6)
+    assert losses_off[-1] < losses_off[0]
+
+    # the resting moments carry the selected host memory kind
+    assert tr_off._host_kind is not None
+    mu = tr_off.opt_state.inner_states["train"].inner_state[1][0].mu
+    kind = mu["layers"]["mlp"]["gate"]["w"].sharding.memory_kind
+    assert kind in (tr_off._host_kind, None)
