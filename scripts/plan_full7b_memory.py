@@ -178,12 +178,6 @@ def main():
                 (B, S), jnp.int32, sharding=NamedSharding(mesh, P("dp"))),
         }
 
-        def train_step(params, opt_state, batch, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
         p_sds = jax.tree.map(
             lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
             params_shape, param_sh)
@@ -194,14 +188,83 @@ def main():
         k_sds = jax.ShapeDtypeStruct((2,), jnp.uint32,
                                      sharding=NamedSharding(
                                          mesh, jax.sharding.PartitionSpec()))
+        repl = NamedSharding(mesh, jax.sharding.PartitionSpec())
 
-        jitted = jax.jit(train_step, donate_argnums=(0, 1),
-                         out_shardings=(param_sh, opt_sh, NamedSharding(
-                             mesh, jax.sharding.PartitionSpec())))
-        lowered = jitted.lower(p_sds, o_sds, batch_shape, k_sds)
-        compiled = lowered.compile()
-        m = compiled.memory_analysis()
-        gb = 1 << 30
+        if args.offload_moments:
+            # Mirror the Trainer's TWO-PHASE offload step (train/trainer.py):
+            # phase 1 (grad) runs fwd/bwd with the moments resting on host —
+            # they contribute ZERO device bytes at the activation peak;
+            # phase 2 (update) holds params+grads+moments but no
+            # activations. Device peak = max of the two phases.
+            def grad_step(params, batch, key):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+                return grads, loss
+
+            def update_step(params, opt_state, grads):
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                return optax.apply_updates(params, updates), opt_state
+
+            g_dev = jax.tree.map(lambda s: s.with_memory_kind("device"),
+                                 param_sh)
+            o_dev = jax.tree.map(
+                lambda s: s.with_memory_kind("device"), opt_sh,
+                is_leaf=lambda x: isinstance(x, NamedSharding))
+            o_dev_sds = jax.tree.map(
+                lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                                  sharding=s),
+                opt_shape, o_dev,
+                is_leaf=lambda x: isinstance(x, jax.ShapeDtypeStruct))
+            c1 = jax.jit(grad_step,
+                         out_shardings=(g_dev, repl)).lower(
+                p_sds, batch_shape, k_sds).compile()
+            c2 = jax.jit(update_step, donate_argnums=(0, 1, 2),
+                         out_shardings=(param_sh, o_dev)).lower(
+                p_sds, o_dev_sds,
+                jax.tree.map(lambda l, s: jax.ShapeDtypeStruct(
+                    l.shape, l.dtype, sharding=s), params_shape, g_dev),
+            ).compile()
+            m1, m2 = c1.memory_analysis(), c2.memory_analysis()
+
+            class _M:     # max-of-phases view with phase detail below
+                argument_size_in_bytes = max(m1.argument_size_in_bytes,
+                                             m2.argument_size_in_bytes)
+                temp_size_in_bytes = max(m1.temp_size_in_bytes,
+                                         m2.temp_size_in_bytes)
+                output_size_in_bytes = max(m1.output_size_in_bytes,
+                                           m2.output_size_in_bytes)
+            m = _M()
+            gb = 1 << 30
+            phase_detail = {
+                "grad_phase_peak_gb": round(
+                    (m1.argument_size_in_bytes + m1.temp_size_in_bytes
+                     + m1.output_size_in_bytes) / gb, 2),
+                "update_phase_peak_gb": round(
+                    (m2.argument_size_in_bytes + m2.temp_size_in_bytes)
+                    / gb, 2),
+            }
+            # grad phase: params+batch are args, grads are NON-aliased
+            # outputs (they survive to phase 2) -> live = args+temps+outputs
+            peak_bytes = max(
+                m1.argument_size_in_bytes + m1.temp_size_in_bytes
+                + m1.output_size_in_bytes,
+                m2.argument_size_in_bytes + m2.temp_size_in_bytes)
+        else:
+            def train_step(params, opt_state, batch, key):
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            jitted = jax.jit(train_step, donate_argnums=(0, 1),
+                             out_shardings=(param_sh, opt_sh, repl))
+            lowered = jitted.lower(p_sds, o_sds, batch_shape, k_sds)
+            compiled = lowered.compile()
+            m = compiled.memory_analysis()
+            phase_detail = {}
+            gb = 1 << 30
+            peak_bytes = m.argument_size_in_bytes + m.temp_size_in_bytes
         row = {
             "chips": n_chips,
             "offload_moments": bool(args.offload_moments),
@@ -215,10 +278,9 @@ def main():
             "code_gb_per_chip": round(
                 getattr(m, "generated_code_size_in_bytes", 0) / gb, 2),
             # donated params/opt alias their outputs, so live = args + temps
-            "peak_gb_per_chip": round(
-                (m.argument_size_in_bytes + m.temp_size_in_bytes) / gb, 2),
-            "fits_16gb": (m.argument_size_in_bytes
-                          + m.temp_size_in_bytes) < 15.2 * gb,
+            "peak_gb_per_chip": round(peak_bytes / gb, 2),
+            "fits_16gb": peak_bytes < 15.2 * gb,
+            **phase_detail,
         }
         print(json.dumps(row))
         return row
