@@ -531,8 +531,10 @@ def flash_attention(
     # are tiny and XLA fuses them into the surrounding layer, while the
     # kernel only adds blocking/dispatch overhead (a 32-layer ingest ViT ran
     # 104 -> 121 TF/s switching these shapes to XLA). Crossover measured at
-    # S ~ 512 on v5e (scripts/probe_attn_crossover.py): CLIP's 577-token
-    # frames and every causal prefill stay on the kernel.
+    # S ~ 512 on v5e (scripts/probe_attn_crossover.py): CLIP's 257-token
+    # frames (224px) ride XLA — this took LLaVA ingest 19.2 -> 13.1 ms/clip
+    # — while 336px CLIP (577 tokens) and every causal prefill stay on the
+    # kernel.
     worth_fusing = q.shape[2] >= 512
     if force_xla or not on_tpu or not static_offset or not worth_fusing:
         return xla_attention(q, k, v, causal=causal,
