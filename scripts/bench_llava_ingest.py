@@ -81,10 +81,14 @@ def main():
     from flash_vstream_tpu.models.star_memory import init_star_state
     st = init_star_state(cfg.star, cfg.projector.effective_input_dim)
     float(jnp.sum(jloop(params, st, imgs, args.clips).ravel()[0]))
-    st = init_star_state(cfg.star, cfg.projector.effective_input_dim)
-    t0 = time.perf_counter()
-    float(jnp.sum(jloop(params, st, imgs, args.clips).ravel()[0]))
-    dt_dev = (time.perf_counter() - t0) / args.clips
+    # best of 3 windows: the shared chip varies run to run (CLAUDE.md)
+    dts = []
+    for _ in range(3):
+        st = init_star_state(cfg.star, cfg.projector.effective_input_dim)
+        t0 = time.perf_counter()
+        float(jnp.sum(jloop(params, st, imgs, args.clips).ravel()[0]))
+        dts.append(time.perf_counter() - t0)
+    dt_dev = min(dts) / args.clips
     dev_fps = args.clip / dt_dev
 
     print(json.dumps({
