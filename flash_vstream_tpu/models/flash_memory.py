@@ -33,7 +33,15 @@ import numpy as np
 from ..core.config import FlashMemoryConfig
 from ..ops.kmeans import weighted_kmeans
 from ..ops.retrieval import dam_retrieve
-from ..ops.sequential import sample_frames
+from ..ops.sequential import (drop_frames_timed, merge_frames_timed,
+                              sample_frames)
+
+# LLaVA STAR's Turing-memory decay (compress_Turing_update_ratio,
+# Flash-VStream-LLaVA/flash_vstream/train/train.py:88) — reused as the blend
+# ratio for the Qwen 'attention' temporal method, whose reference registry
+# entry is broken (partial(attention_feature, attention_fn=None) calls None,
+# vstream_qwen2vl_model.py:176 + compress_functions.py:735).
+ATTENTION_UPDATE_RATIO = 0.2
 
 
 class FlashMemoryOutput(NamedTuple):
@@ -62,6 +70,60 @@ def _ordered_kmeans_with_times(flat, k, weights, times, valid, key, iters=10):
     return (res.centroids[order], res.cluster_weights[order], ts[order])
 
 
+def _attention_blend(memory: jnp.ndarray, chunk: jnp.ndarray,
+                     key_valid: Optional[jnp.ndarray] = None,
+                     ratio: float = ATTENTION_UPDATE_RATIO) -> jnp.ndarray:
+    """Parameter-free Turing-memory blend: memory tokens attend to chunk
+    tokens (scaled dot product, identity projections) and move toward the
+    attended value by `ratio`. This is the LLaVA NTM update
+    (vstream_arch.py:174-183) with W_q=W_k=W_v=I — the repo's DEFINED
+    semantics for the Qwen 'attention' temporal method, whose reference
+    entry crashes (attention_fn=None). memory [M, D], chunk [N, D]."""
+    d = memory.shape[-1]
+    scores = jnp.dot(memory.astype(jnp.float32), chunk.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) / jnp.sqrt(
+                         jnp.float32(d))
+    if key_valid is not None:
+        scores = jnp.where(key_valid[None, :], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if key_valid is not None:
+        attn = jnp.where(jnp.any(key_valid), attn, 0.0)
+    read = jnp.dot(attn, chunk.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    out = (1.0 - ratio) * memory.astype(jnp.float32) + ratio * read
+    if key_valid is not None:
+        out = jnp.where(jnp.any(key_valid), out, memory.astype(jnp.float32))
+    return out
+
+
+def _attention_compress(small_x: jnp.ndarray, t_csm: int) -> jnp.ndarray:
+    """Chunked Turing compression of [t, P, D] to [t_csm, P, D]: memory =
+    first t_csm frames' tokens; each later t_csm-frame chunk is folded via
+    _attention_blend. Mirrors the loop structure of the Qwen
+    attention_feature (compress_functions.py:722-739: memory [T0*P, D],
+    chunks of T0 frames)."""
+    t, P, D = small_x.shape
+    mem = small_x[:t_csm].reshape(t_csm * P, D).astype(jnp.float32)
+    rest = small_x[t_csm:]
+    n_rest = rest.shape[0]
+    if n_rest == 0:
+        return mem.reshape(t_csm, P, D)
+    n_chunks = -(-n_rest // t_csm)
+    pad = n_chunks * t_csm - n_rest
+    rest = jnp.concatenate(
+        [rest, jnp.zeros((pad, P, D), rest.dtype)]) if pad else rest
+    chunks = rest.reshape(n_chunks, t_csm * P, D)
+    frame_valid = jnp.arange(n_chunks * t_csm) < n_rest
+    tok_valid = jnp.repeat(frame_valid, P).reshape(n_chunks, t_csm * P)
+
+    def step(mem, inp):
+        chunk, kv = inp
+        return _attention_blend(mem, chunk, key_valid=kv), None
+
+    mem, _ = jax.lax.scan(step, mem, (chunks.astype(jnp.float32), tok_valid))
+    return mem.reshape(t_csm, P, D)
+
+
 def flash_consolidate(
     cfg: FlashMemoryConfig,
     x: jnp.ndarray,             # [t, P_full, D] full-res per-frame features
@@ -80,17 +142,59 @@ def flash_consolidate(
         times = jnp.arange(t, dtype=jnp.float32)
 
     # --- CSM: temporal compression ---
+    # Registry parity note (vstream_qwen2vl_model.py:161-176): the reference
+    # method_dic lists sample/merge/drop/kmeans/kmeans_ordered/pca_*/fast_*/
+    # dbscan/gmm/attention, but its own 'merge', 'drop', 'kmeans', 'dbscan'
+    # and 'gmm' entries return 3-tuples into a 4-way unpack (ValueError) and
+    # 'attention' calls attention_fn=None (TypeError) — only the *_ordered
+    # family and 'sample' run. Every name dispatches here, with (weights,
+    # timestamps) semantics defined in this repo and pinned by
+    # tests/test_reference_oracle.py.
     if t <= cfg.csm_grid_len:
         tem_x = small_x
         tem_weights = jnp.ones((t,), jnp.float32)
         tem_ts = times
     elif cfg.temporal_method in ("kmeans_ordered", "fast_kmeans_ordered",
-                                 "kmeans", "pca_kmeans_ordered",
-                                 "torchpca_kmeans_ordered"):
+                                 "kmeans"):
+        # plain 'kmeans' = the ordered variant (the reference's unordered
+        # entry crashes; ordering is required downstream by AM-RoPE anyway)
         flat = small_x.reshape(t, P_small * D)
         cents, tem_weights, tem_ts = _ordered_kmeans_with_times(
             flat, t_csm, None, times, None, key)
         tem_x = cents.reshape(t_csm, P_small, D)
+    elif cfg.temporal_method in ("pca_kmeans_ordered",
+                                 "torchpca_kmeans_ordered"):
+        from ..ops.kmeans import pca_weighted_kmeans_ordered
+        flat = small_x.reshape(t, P_small * D)
+        res = pca_weighted_kmeans_ordered(
+            flat, t_csm, cfg.temporal_pca_dim, key=key,
+            tokens_per_frame=P_small)
+        onehot = (res.labels[:, None]
+                  == jnp.arange(t_csm)[None, :]).astype(jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        tsum = jnp.dot(onehot.T, times.astype(jnp.float32)[:, None])[:, 0]
+        tem_ts = jnp.where(counts > 0, tsum / jnp.maximum(counts, 1.0), 0.0)
+        order = jnp.argsort(tem_ts)
+        tem_x = res.centroids[order].reshape(t_csm, P_small, D)
+        tem_weights = res.cluster_weights[order]
+        tem_ts = tem_ts[order]
+    elif cfg.temporal_method in ("merge", "drop"):
+        flat = small_x.reshape(t, P_small * D)
+        if cfg.temporal_method == "merge":
+            res = merge_frames_timed(flat, jnp.int32(t), t_csm, times=times)
+        else:
+            res = drop_frames_timed(flat, jnp.int32(t), t_csm, key,
+                                    times=times)
+        tem_x = res.features.reshape(t_csm, P_small, D)
+        tem_weights = res.weights
+        tem_ts = res.times
+    elif cfg.temporal_method == "attention":
+        tem_x = _attention_compress(small_x, t_csm)
+        tem_weights = jnp.ones((t_csm,), jnp.float32)
+        # slots are Turing-memory cells seeded by the first t_csm frames;
+        # they keep those frames' timestamps (the reference's broken entry
+        # would have returned arange(T0), compress_functions.py:739)
+        tem_ts = times[:t_csm]
     elif cfg.temporal_method == "sample":
         flat = small_x.reshape(t, P_small * D)
         sampled, idx = sample_frames(flat, jnp.int32(t), t_csm)
@@ -329,10 +433,36 @@ def flash_stream_update(
                * (jnp.maximum(n_cat, 1) - 1).astype(jnp.float32))
         idx = pos.astype(jnp.int32)
         cents, cw, cts = srt_x[idx], srt_w[idx], srt_t[idx]
+    elif cfg.temporal_method in ("merge", "drop"):
+        # sequential methods ARE streaming by nature: pack [old cells | new
+        # frames] in temporal order and continue the same scan the offline
+        # path runs (old cells carry their accumulated weights/time means)
+        order0 = jnp.argsort(jnp.where(cat_valid, cat_t, jnp.inf))
+        srt_x, srt_w, srt_t = flat[order0], cat_w[order0], cat_t[order0]
+        if cfg.temporal_method == "merge":
+            res = merge_frames_timed(srt_x, n_cat, K, times=srt_t,
+                                     weights=srt_w)
+        else:
+            res = drop_frames_timed(srt_x, n_cat, K, key, times=srt_t,
+                                    weights=srt_w)
+        cents, cw, cts = res.features, res.weights, res.times
+    elif cfg.temporal_method == "attention":
+        # Turing memory: cells = packed first K entries, later entries fold
+        # in as one parameter-free cross-attention blend (steady state this
+        # is exactly "old cells attend to the new clip")
+        order0 = jnp.argsort(jnp.where(cat_valid, cat_t, jnp.inf))
+        srt_x, srt_w, srt_t = flat[order0], cat_w[order0], cat_t[order0]
+        seed = srt_x[:K].reshape(K * P_small, D)
+        rest = srt_x[K:].reshape((T_new) * P_small, D)
+        rest_valid = jnp.repeat(jnp.arange(K, K + T_new) < n_cat, P_small)
+        mem = _attention_blend(seed, rest, key_valid=rest_valid)
+        cents = mem.reshape(K, P_small * D)
+        cw, cts = srt_w[:K], srt_t[:K]
     else:
-        # clustering registry (kmeans_ordered and variants; dbscan/gmm are
-        # offline-only alternates — streaming re-clusters a mixed bank where
-        # density/eps semantics don't transfer)
+        # clustering registry (kmeans/kmeans_ordered/fast/pca variants;
+        # dbscan/gmm are offline-only alternates — streaming re-clusters a
+        # mixed bank where density/eps semantics don't transfer, so they
+        # fall back to ordered k-means here, documented deviation)
         cents, cw, cts = _ordered_kmeans_with_times(flat, K, cat_w, cat_t,
                                                     cat_valid, key)
     slot = jnp.arange(K)

@@ -18,10 +18,13 @@ from .pooling import merge_2x2_tokens, qwen_temporal_pool, spatial_pool
 from .retrieval import dam_retrieve, retrieve_nearest_frames, star_retrieve, topk_by_weight
 from .sequential import (
     SeqCompressResult,
+    TimedSeqResult,
     drop_frames,
+    drop_frames_timed,
     k_drop_frames,
     k_merge_frames,
     merge_frames,
+    merge_frames_timed,
     sample_frames,
 )
 
@@ -33,6 +36,7 @@ __all__ = [
     "NTMParams", "init_ntm_params", "ntm_compress", "ntm_update",
     "merge_2x2_tokens", "qwen_temporal_pool", "spatial_pool",
     "dam_retrieve", "retrieve_nearest_frames", "star_retrieve", "topk_by_weight",
-    "SeqCompressResult", "drop_frames", "k_drop_frames", "k_merge_frames",
-    "merge_frames", "sample_frames",
+    "SeqCompressResult", "TimedSeqResult", "drop_frames", "drop_frames_timed",
+    "k_drop_frames", "k_merge_frames", "merge_frames", "merge_frames_timed",
+    "sample_frames",
 ]

@@ -241,6 +241,150 @@ def k_merge_frames(x: jnp.ndarray, n_valid: jnp.ndarray, t0: int) -> SeqCompress
     return SeqCompressResult(feat, valid, sim)
 
 
+class TimedSeqResult(NamedTuple):
+    """Sequential compression result that also tracks per-slot provenance:
+    member weight (frame count folded into the slot) and the weighted mean of
+    member timestamps. Needed by the Qwen temporal_compress registry, whose
+    downstream (spatial_enhance retrieval + AM-RoPE) consumes (weights,
+    timestamps) per CSM slot (vstream_qwen2vl_model.py:176-179). The
+    reference's own 'merge'/'drop' registry entries return 3-tuples into a
+    4-way unpack and crash (vstream_qwen2vl_model.py:164-176 vs
+    compress_functions.py:64,98) — these semantics are this repo's defined
+    behavior for those methods (documented deviation)."""
+    features: jnp.ndarray   # [t0, D] f32
+    valid: jnp.ndarray      # [t0] bool
+    weights: jnp.ndarray    # [t0] f32 member weight per slot
+    times: jnp.ndarray      # [t0] f32 weighted mean member timestamp
+
+
+def merge_frames_timed(x: jnp.ndarray, n_valid: jnp.ndarray, t0: int,
+                       times: Optional[jnp.ndarray] = None,
+                       weights: Optional[jnp.ndarray] = None
+                       ) -> TimedSeqResult:
+    """merge_frames + provenance: slot weight = sum of member weights, slot
+    time = weighted mean of member times. Feature blending stays the
+    reference's plain (a+b)/2 average (compress_functions.py:89) regardless
+    of weights; weights/times only track membership. Initial per-frame
+    weights default to 1 (streaming passes accumulated cluster weights)."""
+    Tmax, D = x.shape
+    assert Tmax >= t0
+    if times is None:
+        times = jnp.arange(Tmax, dtype=jnp.float32)
+    if weights is None:
+        weights = jnp.ones((Tmax,), jnp.float32)
+    times = times.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    feat0 = x[:t0].astype(jnp.float32)
+    sim0 = _neighbor_sims(feat0)
+    i = jnp.arange(t0)
+    sim0 = jnp.where(i < jnp.minimum(n_valid, t0) - 1, sim0, _NEG)
+    cnt0 = weights[:t0]
+    tsum0 = times[:t0] * cnt0
+
+    def step(carry, inp):
+        feat, sim, cnt, tsum = carry
+        new, new_w, new_t, t = inp
+        is_live = t < n_valid
+
+        asim = sim.at[t0 - 1].set(cosine_similarity(feat[t0 - 1], new))
+        af = jnp.concatenate([feat, new[None].astype(jnp.float32)], 0)
+        acnt = jnp.concatenate([cnt, new_w[None]], 0)
+        atsum = jnp.concatenate([tsum, (new_t * new_w)[None]], 0)
+        idx = jnp.argmax(asim)
+        merged = (af[idx] + af[idx + 1]) / 2.0
+        af = af.at[idx + 1].set(merged)
+        acnt = acnt.at[idx + 1].set(acnt[idx] + acnt[idx + 1])
+        atsum = atsum.at[idx + 1].set(atsum[idx] + atsum[idx + 1])
+        nfeat = _delete_shift(af, idx, t0)
+        ncnt = _delete_shift(acnt, idx, t0)
+        ntsum = _delete_shift(atsum, idx, t0)
+        j = jnp.arange(t0)
+        nsim = asim[jnp.minimum(j + (j >= idx), t0 - 1)]
+        nsim = nsim.at[t0 - 1].set(_NEG)
+        def patch(s, k):
+            kc = jnp.clip(k, 0, t0 - 2)
+            val = cosine_similarity(nfeat[kc], nfeat[kc + 1])
+            ok = (k >= 0) & (k < t0 - 1)
+            return s.at[kc].set(jnp.where(ok, val, s[kc]))
+        nsim = patch(nsim, idx - 1)
+        nsim = patch(nsim, idx)
+
+        feat = jnp.where(is_live, nfeat, feat)
+        sim = jnp.where(is_live, nsim, sim)
+        cnt = jnp.where(is_live, ncnt, cnt)
+        tsum = jnp.where(is_live, ntsum, tsum)
+        return (feat, sim, cnt, tsum), None
+
+    (feat, sim, cnt, tsum), _ = jax.lax.scan(
+        step, (feat0, sim0, cnt0, tsum0),
+        (x[t0:].astype(jnp.float32), weights[t0:], times[t0:],
+         jnp.arange(t0, Tmax)))
+    valid = jnp.arange(t0) < jnp.minimum(n_valid, t0)
+    out_t = jnp.where(cnt > 0, tsum / jnp.maximum(cnt, 1e-30), 0.0)
+    return TimedSeqResult(feat, valid, jnp.where(valid, cnt, 0.0),
+                          jnp.where(valid, out_t, 0.0))
+
+
+def drop_frames_timed(x: jnp.ndarray, n_valid: jnp.ndarray, t0: int,
+                      key: jax.Array,
+                      times: Optional[jnp.ndarray] = None,
+                      weights: Optional[jnp.ndarray] = None
+                      ) -> TimedSeqResult:
+    """drop_frames + provenance: each surviving slot keeps its own source
+    weight/timestamp (dropping discards the dropped frame's provenance)."""
+    Tmax, D = x.shape
+    if times is None:
+        times = jnp.arange(Tmax, dtype=jnp.float32)
+    if weights is None:
+        weights = jnp.ones((Tmax,), jnp.float32)
+    times = times.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    feat0 = x[:t0].astype(jnp.float32)
+    sim0 = _neighbor_sims(feat0)
+    i = jnp.arange(t0)
+    sim0 = jnp.where(i < jnp.minimum(n_valid, t0) - 1, sim0, _NEG)
+    coins = jax.random.bernoulli(key, 0.5, (Tmax - t0,))
+    w0 = weights[:t0]
+    t0s = times[:t0]
+
+    def step(carry, inp):
+        feat, sim, wv, tv = carry
+        new, new_w, new_t, t, coin = inp
+        is_live = t < n_valid
+
+        asim = sim.at[t0 - 1].set(cosine_similarity(feat[t0 - 1], new))
+        af = jnp.concatenate([feat, new[None].astype(jnp.float32)], 0)
+        aw = jnp.concatenate([wv, new_w[None]], 0)
+        at = jnp.concatenate([tv, new_t[None]], 0)
+        idx = jnp.argmax(asim) + coin.astype(jnp.int32)
+        nfeat = _delete_shift(af, idx, t0)
+        nw = _delete_shift(aw, idx, t0)
+        nt = _delete_shift(at, idx, t0)
+        j = jnp.arange(t0)
+        nsim = asim[jnp.minimum(j + (j >= idx), t0 - 1)]
+        nsim = nsim.at[t0 - 1].set(_NEG)
+        k = idx - 1
+        patch_needed = (idx > 0) & (idx < t0)
+        val = cosine_similarity(nfeat[jnp.clip(k, 0, t0 - 2)],
+                                nfeat[jnp.clip(k + 1, 0, t0 - 1)])
+        nsim = nsim.at[jnp.clip(k, 0, t0 - 1)].set(
+            jnp.where(patch_needed, val, nsim[jnp.clip(k, 0, t0 - 1)]))
+
+        feat = jnp.where(is_live, nfeat, feat)
+        sim = jnp.where(is_live, nsim, sim)
+        wv = jnp.where(is_live, nw, wv)
+        tv = jnp.where(is_live, nt, tv)
+        return (feat, sim, wv, tv), None
+
+    (feat, sim, wv, tv), _ = jax.lax.scan(
+        step, (feat0, sim0, w0, t0s),
+        (x[t0:].astype(jnp.float32), weights[t0:], times[t0:],
+         jnp.arange(t0, Tmax), coins))
+    valid = jnp.arange(t0) < jnp.minimum(n_valid, t0)
+    return TimedSeqResult(feat, valid, jnp.where(valid, wv, 0.0),
+                          jnp.where(valid, tv, 0.0))
+
+
 def sample_frames(x: jnp.ndarray, n_valid: jnp.ndarray, t0: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Uniform temporal sampling (Qwen 'sample' method,
     vstream_qwen2vl_model.py:161): linspace(0, t-1, t0) rounded down."""

@@ -257,3 +257,87 @@ def test_gather_rows_matches_take(rng):
     for s in range(2):
         np.testing.assert_array_equal(
             np.asarray(vout[s]), np.asarray(banks[s])[np.asarray(idxs[s])])
+
+
+def test_stream_merge_single_clip_matches_offline(rng):
+    """temporal_method='merge': feeding a whole video as one clip through
+    flash_stream_update equals flash_consolidate — the streaming path is the
+    same sequential scan continued from an empty state."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, temporal_method="merge")
+    t = 10
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    off = flash_consolidate(cfg, x, sx, key=jax.random.PRNGKey(0))
+    state = init_flash_state(cfg, P_FULL, P_SMALL, D, bank_size=16)
+    state, out = flash_stream_update(cfg, state, x, sx, jnp.int32(t),
+                                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out.tem_x), np.asarray(off.tem_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.tem_weights),
+                               np.asarray(off.tem_weights), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.tem_positions),
+                                  np.asarray(off.tem_positions))
+
+
+def test_stream_attention_single_clip_matches_offline(rng):
+    """temporal_method='attention' with rest <= one chunk: streaming fold of
+    the tail equals the offline chunked compression."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, temporal_method="attention")
+    t = 7                      # rest = 3 <= K=4 -> exactly one fold chunk
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    off = flash_consolidate(cfg, x, sx, key=jax.random.PRNGKey(0))
+    state = init_flash_state(cfg, P_FULL, P_SMALL, D, bank_size=16)
+    state, out = flash_stream_update(cfg, state, x, sx, jnp.int32(t),
+                                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out.tem_x), np.asarray(off.tem_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.tem_positions),
+                                  np.asarray(off.tem_positions))
+
+
+def test_stream_update_all_registry_methods(rng):
+    """Every reference method_dic name streams: multi-clip updates stay
+    finite, keep sorted-enough timestamps, and saturate the CSM bank."""
+    import dataclasses
+    for method in ("sample", "merge", "drop", "kmeans", "kmeans_ordered",
+                   "fast_kmeans_ordered", "pca_kmeans_ordered",
+                   "torchpca_kmeans_ordered", "dbscan", "gmm", "attention"):
+        cfg = dataclasses.replace(CFG, temporal_method=method,
+                                  temporal_pca_dim=4)
+        state = init_flash_state(cfg, P_FULL, P_SMALL, D, bank_size=16)
+        step = jax.jit(lambda s, x, sx, n, k, _cfg=cfg:
+                       flash_stream_update(_cfg, s, x, sx, n, k))
+        for i in range(4):
+            x = jnp.asarray(rng.normal(size=(3, P_FULL, D)).astype(np.float32))
+            sx = jnp.asarray(
+                rng.normal(size=(3, P_SMALL, D)).astype(np.float32))
+            state, out = step(state, x, sx, jnp.int32(3),
+                              jax.random.PRNGKey(i))
+        assert int(state.n_frames) == 12, method
+        assert bool(state.tem_valid.all()), method
+        assert np.isfinite(np.asarray(state.tem_x)).all(), method
+        ts = np.asarray(state.tem_times)
+        assert np.all((ts >= 0) & (ts < 12)), (method, ts)
+
+
+def test_consolidate_all_registry_methods(rng):
+    """Every reference method_dic name consolidates offline (the reference
+    itself crashes on merge/drop/kmeans/dbscan/gmm/attention — see
+    tests/test_reference_oracle.py::test_reference_registry_entries_are_broken)."""
+    import dataclasses
+    t = 10
+    x = jnp.asarray(rng.normal(size=(t, P_FULL, D)).astype(np.float32))
+    sx = jnp.asarray(rng.normal(size=(t, P_SMALL, D)).astype(np.float32))
+    for method in ("sample", "merge", "drop", "kmeans", "kmeans_ordered",
+                   "fast_kmeans_ordered", "pca_kmeans_ordered",
+                   "torchpca_kmeans_ordered", "dbscan", "gmm", "attention"):
+        cfg = dataclasses.replace(CFG, temporal_method=method,
+                                  temporal_pca_dim=4)
+        out = flash_consolidate(cfg, x, sx, key=jax.random.PRNGKey(0))
+        assert out.tem_x.shape == (4, P_SMALL, D), method
+        assert np.isfinite(np.asarray(out.tem_x)).all(), method
+        ts = np.asarray(out.tem_positions)
+        assert np.all((ts >= 0) & (ts < t)), (method, ts)
