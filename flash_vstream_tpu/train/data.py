@@ -195,6 +195,56 @@ class DataConfig:
     frame_bucket: int = 64
     max_text_len: int = 512
     image_size: int = 224                 # host resize target for raw media
+    # raw-video subsampling beyond video_max_frames (reference
+    # DataArguments.video_sample_type, train.py:86 + 768-780):
+    # "" = evenly-spaced truncation; "center" = middle window;
+    # "uniform" = the reference's round((i+1)*scale - 1) index rule
+    video_sample_type: str = ""
+
+
+def breakpoint_slice_features(feature: np.ndarray, item: dict) -> np.ndarray:
+    """Breakpoint-mode time slicing of precomputed features.
+
+    Mirrors the reference LazySupervisedDataset exactly
+    (Flash-VStream-LLaVA/flash_vstream/train/train.py:740-756): items with a
+    'time' key (realtime VStream-QA sets) slice a window around the question
+    timestamp — ±15 frames by default, ±9 if a 'time_9' key is present, and
+    for 'time_9dense' a ±54 window around time_9dense//4; items with ONLY a
+    'time_9dense' key subsample the whole feature [::6]."""
+    if "time" in item:
+        if "time_9dense" in item:
+            tim = int(item["time_9dense"]) // 4
+            start = max(tim - 6 * 9, 0)
+            end = min(tim + 6 * 9, feature.shape[0])
+        else:
+            expansion = 9 if "time_9" in item else 15
+            tim = int(item["time"])
+            start = max(tim - expansion, 0)
+            end = min(tim + expansion, feature.shape[0])
+        return feature[start:end]
+    if "time_9dense" in item:
+        return feature[::6]
+    return feature
+
+
+def sample_type_indices(n: int, max_frames: int, sample_type: str) -> list:
+    """Frame-index subsampling beyond max_frames (reference
+    train.py:768-780). Returns indices into the fps-sampled frame list."""
+    idx = list(range(n))
+    if n <= max_frames:
+        return idx
+    if sample_type == "center":
+        start = (n - max_frames) // 2
+        return idx[start:start + max_frames]
+    if sample_type == "uniform":
+        scale = 1.0 * n / max_frames
+        # round-half-even like python round(), matching the reference
+        return [idx[round((i + 1) * scale - 1)] for i in range(max_frames)]
+    if n > 18000:
+        # the reference's emergency cap for un-typed huge videos
+        scale = 1.0 * n / 180
+        return [idx[round((i + 1) * scale - 1)] for i in range(180)]
+    return idx
 
 
 class SupervisedVideoDataset:
@@ -251,20 +301,33 @@ class SupervisedVideoDataset:
                 out = {"input_ids": ids, "labels": labels, "id": item.get("id", i)}
                 if "video" in item:
                     if self.cfg.feature_dir:
-                        feats = self._load_video_features(item["video"])
-                        out["features"] = self._subsample(
-                            np.asarray(feats, np.float32))
+                        feats = np.asarray(
+                            self._load_video_features(item["video"]),
+                            np.float32)
+                        # breakpoint-mode time slicing (realtime VStream-QA
+                        # sets; reference train.py:740-756)
+                        feats = breakpoint_slice_features(feats, item)
+                        out["features"] = self._subsample(feats)
                         out["n_frames"] = out["features"].shape[0]
                     else:
                         # raw-video branch (reference train.py:764-793):
                         # decode frames, CLIP pad-to-square + resize on host
                         from ..preprocess.image import clip_resize_u8
                         from ..preprocess.video import load_video
-                        src = load_video(
-                            os.path.join(self.cfg.video_dir, item["video"]),
-                            max_frames=self.cfg.video_max_frames)
+                        path = os.path.join(self.cfg.video_dir, item["video"])
+                        if self.cfg.video_sample_type:
+                            # center/uniform selection over the fps-sampled
+                            # list (reference train.py:768-780)
+                            frames = list(load_video(path))
+                            sel = sample_type_indices(
+                                len(frames), self.cfg.video_max_frames,
+                                self.cfg.video_sample_type)
+                            frames = [frames[j] for j in sel]
+                        else:
+                            frames = list(load_video(
+                                path, max_frames=self.cfg.video_max_frames))
                         out["frames"] = list(
-                            clip_resize_u8(list(src), self.cfg.image_size))
+                            clip_resize_u8(frames, self.cfg.image_size))
                         out["n_frames"] = len(out["frames"])
                 elif "image" in item:
                     # single-image branch (reference train.py:694-716):
