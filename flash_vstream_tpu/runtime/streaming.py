@@ -93,7 +93,9 @@ def _load_session_state(session, path: str, state_cls, snap_builder) -> None:
         assert want == got, (
             f"restored session state field {name!r} has shape {got}, this "
             f"session expects {want} — config/bank_size mismatch")
-    session.state = jax.device_put(state)
+    dev = getattr(getattr(session, "placement", None), "ingest_device", None)
+    session.state = (jax.device_put(state, dev) if dev is not None
+                     else jax.device_put(state))
     snap = payload.get("snapshot")
     count = int(payload["meta"]["count"])
     session._published = (
@@ -463,8 +465,8 @@ class QwenStreamSession:
     def __init__(self, params: dict, cfg: VStreamQwenConfig, tokenizer,
                  frame_hw=(224, 224), clip_size: int = 2,
                  bank_size: int = 1024, max_len: int = 16384,
-                 max_pixels: int = 4 * 224 * 224, kv_cache_dtype=None):
-        self.params = params
+                 max_pixels: int = 4 * 224 * 224, kv_cache_dtype=None,
+                 placement=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         assert clip_size % 2 == 0, (
@@ -472,8 +474,20 @@ class QwenStreamSession:
             f"even (got {clip_size})")
         self.clip_size = clip_size
         self.metrics = MetricMeter()
+        # disaggregated serve (parallel/serve.py): vision tower + memory on
+        # the ingest device, TP decoder + merger on the decode mesh — the
+        # slice mapping of the reference's 2-GPU split
+        # (cli_server_2gpu.py:197-239). None = everything on one chip.
+        self.placement = placement
+        if placement is not None:
+            from ..parallel.serve import place_qwen_serve_params
+            self._ingest_params, self.params = place_qwen_serve_params(
+                params, placement)
+        else:
+            self._ingest_params = params
+            self.params = params
         self.generator = Generator(
-            params["llm"], cfg.llm, max_len=max_len,
+            self.params["llm"], cfg.llm, max_len=max_len,
             cache_dtype=kv_cache_dtype or jnp.bfloat16)
 
         h, w = frame_hw
@@ -486,6 +500,8 @@ class QwenStreamSession:
         self.state = init_flash_state(cfg.flash_memory, self.p_full,
                                       self.p_small, cfg.vit.hidden_size,
                                       bank_size=bank_size)
+        if placement is not None:
+            self.state = jax.device_put(self.state, placement.ingest_device)
         # ((spa_pos, tem_pos, video_embeds), frame-pair count) published as
         # one tuple — single reference swap, safe for a concurrent answer
         self._published = (None, 0)
@@ -536,8 +552,13 @@ class QwenStreamSession:
         t0 = time.perf_counter()
         # frame-pair count actually ingested
         n_pairs = -(-n // 2)
+        if self.placement is not None:
+            frames_dev = jax.device_put(frames_u8,
+                                        self.placement.ingest_device)
+        else:
+            frames_dev = jnp.asarray(frames_u8)
         self.state, snapshot = self._ingest(
-            self.params, self.state, jnp.asarray(frames_u8),
+            self._ingest_params, self.state, frames_dev,
             jnp.int32(n_pairs), jax.random.PRNGKey(self._step))
         self._step += 1
         self._published = (snapshot, self._published[1] + n_pairs)
@@ -553,8 +574,22 @@ class QwenStreamSession:
         self.state = init_flash_state(
             self.cfg.flash_memory, self.p_full, self.p_small,
             self.cfg.vit.hidden_size, bank_size=self._bank_size)
+        if self.placement is not None:
+            self.state = jax.device_put(self.state,
+                                        self.placement.ingest_device)
         self._published = (None, 0)
         self._step = 0
+
+    def _snapshot_to_decode(self, snapshot):
+        """Disaggregated handover: move the published memory snapshot from
+        the ingest device to the decode mesh (replicated) — the ICI analog
+        of the reference's CPU Manager.list round-trip
+        (vstream_qwen2vl_realtime.py:623-627). No-op on one chip."""
+        if self.placement is None:
+            return snapshot
+        from ..parallel.sharding import replicated
+        rep = replicated(self.placement.decode_mesh)
+        return tuple(jax.device_put(x, rep) for x in snapshot)
 
     def clone_fresh(self) -> "QwenStreamSession":
         """A new independent stream sharing this session's params and
@@ -778,6 +813,7 @@ class QwenStreamSession:
         gen = gen or GenerationConfig(
             max_new_tokens=128,
             eos_token_ids=(self.tokenizer.eos_token_id,))
+        snapshot = self._snapshot_to_decode(snapshot)
         greedy = gen.temperature <= 0.0 or gen.top_k == 1
         if greedy and gen.speculative_k == 0 and gen.preemptible_chunk == 0:
             # greedy: whole answer in ONE dispatch (assemble+prefill+decode)
@@ -805,6 +841,7 @@ class QwenStreamSession:
         reference's TextStreamer UX, cli_video_stream.py:292-309)."""
         snapshot, n_frames = self._published
         assert snapshot is not None, "no frames ingested yet"
+        snapshot = self._snapshot_to_decode(snapshot)
         embeds, positions, decode_start, seg_row, last_real = \
             self._prompt_parts(question, snapshot, n_frames)
         gen = gen or GenerationConfig(

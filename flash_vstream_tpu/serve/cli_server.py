@@ -74,10 +74,24 @@ def build_session(args):
             tokenizer = load_tokenizer(args.model_path)
             frame_hw = (args.frame_size, args.frame_size)
         params = _apply_quantization(params, args)
+        placement = None
+        if args.ingest_devices or args.decode_devices:
+            from ..parallel.serve import make_serve_placement
+            n_dev = len(jax.devices())
+            if n_dev < (args.ingest_devices or 1) + 1:
+                print(f"[serve] only {n_dev} device(s) visible — "
+                      "disaggregation needs >= 2; falling back to the "
+                      "single-chip path (use --preempt so answers yield "
+                      "to clips)")
+            else:
+                placement = make_serve_placement(
+                    n_ingest=args.ingest_devices or 1,
+                    n_decode=args.decode_devices or None)
         return QwenStreamSession(params, cfg, tokenizer, frame_hw=frame_hw,
                                  clip_size=args.clip_size,
                                  bank_size=args.video_max_frames,
-                                 kv_cache_dtype=kv_dtype)
+                                 kv_cache_dtype=kv_dtype,
+                                 placement=placement)
     else:
         from ..core.config import VStreamLLaVAConfig, tiny_llava_config
         from ..models.vstream_llava import init_llava_params
@@ -350,6 +364,15 @@ def make_parser():
                         "With --stream-output the stepwise one-jit-per-token "
                         "path runs instead — it is inherently preemptible "
                         "and this chunk size is ignored")
+    p.add_argument("--ingest-devices", type=int, default=0,
+                   help="disaggregated serve (qwen): pin vision encode + "
+                        "memory consolidation to this many leading devices "
+                        "(the reference's dedicated memory-manager GPU, "
+                        "cli_server_2gpu.py:197-239); decoder runs "
+                        "TP-sharded on the rest. 0 = single-chip.")
+    p.add_argument("--decode-devices", type=int, default=0,
+                   help="device count for the TP decode stage (0 = all "
+                        "remaining devices)")
     p.add_argument("--threaded-ingest", action="store_true",
                    help="pace ingestion on a background thread so answers "
                         "never stall the stream")
