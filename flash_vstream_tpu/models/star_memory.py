@@ -60,6 +60,11 @@ def _compress_long(cfg: STARConfig, long_pooled, long_valid, n_long, key):
     Tmax, Pl, D = long_pooled.shape
     flat = long_pooled.reshape(Tmax, Pl * D)
 
+    if L == 0:
+        # long memory disabled (video_long_memory_length=0 skips the whole
+        # compress+retrieve block, vstream_arch.py:256-258)
+        return (jnp.zeros((0, Pl, D), long_pooled.dtype),
+                jnp.zeros((0,), bool), jnp.zeros((0,), jnp.float32))
     if cfg.compress_type in ("weighted_kmeans", "kmeans"):
         res = weighted_kmeans(flat, L, valid=long_valid, key=key)
         clusters = res.centroids.reshape(L, Pl, D)
@@ -123,12 +128,19 @@ def star_consolidate(
         cfg, long_pooled, hist_valid, n_hist, key)
 
     # --- retrieved key frames ---
-    key_idx = star_retrieve(
-        clusters.reshape(cfg.long_length, -1), weights,
-        long_pooled.reshape(Tmax, -1), hist_valid, cfg.key_length)
-    key_frames = features[key_idx]                              # [k, P, D]
     has_hist = n_hist > 0
-    key_valid = jnp.full((cfg.key_length,), True) & has_hist
+    if cfg.key_length == 0 or cfg.long_length == 0:
+        # no retrieval without long-memory clusters to query (the reference
+        # only retrieves inside the long-compression branch,
+        # vstream_arch.py:260-270)
+        key_frames = features[:0]
+        key_valid = jnp.zeros((0,), bool)
+    else:
+        key_idx = star_retrieve(
+            clusters.reshape(cfg.long_length, -1), weights,
+            long_pooled.reshape(Tmax, -1), hist_valid, cfg.key_length)
+        key_frames = features[key_idx]                          # [k, P, D]
+        key_valid = jnp.full((cfg.key_length,), True) & has_hist
 
     # --- Turing (abstract/NTM) memory ---
     turing = ntm_compress(ntm_params, turing_pooled, n_hist,

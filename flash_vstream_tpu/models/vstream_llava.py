@@ -72,7 +72,8 @@ def star_valid_counts(cfg, n_frames: int,
     n_hist = n_frames if streaming else max(n_frames - star.current_length, 0)
     n_turing = min(n_hist, star.turing_length) * star.turing_size ** 2
     n_long = min(n_hist, star.long_length) * star.long_size ** 2
-    n_key = (star.key_length if n_hist > 0 else 0) * star.current_size ** 2
+    n_key = (star.key_length if n_hist > 0 and star.long_length > 0
+             else 0) * star.current_size ** 2
     n_cur = min(n_frames, star.current_length) * star.current_size ** 2
     return n_turing, n_long, n_key, n_cur
 
