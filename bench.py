@@ -232,6 +232,8 @@ def main():
 
     baseline = 30.0
     print(json.dumps({
+        # FROZEN metric name (r4+): keep longitudinally comparable across
+        # BENCH_r{N}.json — do not rename.
         "metric": "streaming_ingest_fps_device_compute",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",

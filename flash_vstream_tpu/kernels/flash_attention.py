@@ -532,7 +532,7 @@ def flash_attention(
     # kernel only adds blocking/dispatch overhead (a 32-layer ingest ViT ran
     # 104 -> 121 TF/s switching these shapes to XLA). Crossover measured at
     # S ~ 512 on v5e (scripts/probe_attn_crossover.py): CLIP's 257-token
-    # frames (224px) ride XLA — this took LLaVA ingest 19.2 -> 13.1 ms/clip
+    # frames (224px) ride XLA — this took LLaVA ingest 19.2 -> 13.3 ms/clip
     # — while 336px CLIP (577 tokens) and every causal prefill stay on the
     # kernel.
     worth_fusing = q.shape[2] >= 512

@@ -18,6 +18,56 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _llm_matmul_params(llm) -> float:
+    """Matmul-visible parameter count of the decoder stack + LM head
+    (embedding gather excluded — no MXU FLOPs)."""
+    h, i, hk = llm.hidden_size, llm.intermediate_size, (
+        llm.num_kv_heads * llm.head_dim)
+    per_layer = h * h * 2 + 2 * h * hk + 3 * h * i
+    return llm.num_layers * per_layer + llm.vocab_size * h
+
+
+def _vit_matmul_params(vit) -> float:
+    h, i = vit.hidden_size, vit.intermediate_size
+    per_layer = 4 * h * h + 2 * h * i
+    # patch embed + merger are <2% at these shapes; include patch embed
+    pd = vit.in_channels * vit.temporal_patch_size * vit.patch_size ** 2
+    return vit.num_layers * per_layer + pd * h
+
+
+def train_step_model_flops(cfg, n_frames: int, seq: int, px: int,
+                           n_vis: int) -> dict:
+    """Analytic MODEL FLOPs of one fwd+bwd microbatch (standard MFU
+    convention: 6 * matmul_params * tokens + attention terms; remat
+    recompute NOT counted — it inflates hardware FLOPs, not model FLOPs).
+
+    The reference runs this same shape on 8xA100 via torch+deepspeed
+    (Qwen/scripts/train_and_eval.sh); MFU here = model_flops / time /
+    chip_peak."""
+    t = n_frames // 2
+    g = px // 14
+    full_tokens = t * g * g
+    small_tokens = full_tokens // 4
+    vit_tokens = full_tokens + small_tokens
+    vit_mm = 6 * vit_tokens * _vit_matmul_params(cfg.vit)
+    # per-frame block-diagonal attention (full res frames: g*g tokens;
+    # pooled: g*g/4), fwd+bwd = 3 * fwd, fwd = 4 * S_f^2 * h per layer
+    h_v = cfg.vit.hidden_size
+    vit_attn = 3.0 * cfg.vit.num_layers * 4 * h_v * (
+        t * (g * g) ** 2 + t * (g * g // 4) ** 2)
+    dec_mm = 6 * seq * _llm_matmul_params(cfg.llm)
+    # causal attention: fwd = 4 * S^2 * h / 2
+    dec_attn = 3.0 * cfg.llm.num_layers * 2 * seq * seq * cfg.llm.hidden_size
+    total = vit_mm + vit_attn + dec_mm + dec_attn
+    return {
+        "vit_matmul_tflop": vit_mm / 1e12,
+        "vit_attn_tflop": vit_attn / 1e12,
+        "decoder_matmul_tflop": dec_mm / 1e12,
+        "decoder_attn_tflop": dec_attn / 1e12,
+        "total_tflop": total / 1e12,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
@@ -255,6 +305,12 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
     tok_per_step = args.accum * S
+    # achieved MFU: analytic model FLOPs (6*params*tokens convention, remat
+    # recompute excluded) / step time / v5e bf16 peak (VERDICT r4 next #2)
+    fl = train_step_model_flops(cfg, args.frames, S, args.px, n_vis)
+    step_tflop = args.accum * fl["total_tflop"]
+    from flash_vstream_tpu.runtime.metrics import V5E_BF16_TFLOPS
+    achieved = step_tflop / p50
     print(json.dumps({
         "metric": f"train_step_{args.arch}_lora",
         "base_bits": args.base_bits if args.arch == "7b" else 16,
@@ -262,6 +318,11 @@ def main():
         "visual_tokens": int(n_vis),
         "step_p50_s": round(p50, 3),
         "tokens_per_s": round(tok_per_step / p50, 1),
+        "model_tflop_per_step": round(step_tflop, 1),
+        "achieved_tflops": round(achieved, 1),
+        "mfu_pct_v5e_bf16": round(100 * achieved / V5E_BF16_TFLOPS, 1),
+        "flop_split_tflop": {k: round(v * args.accum, 1)
+                             for k, v in fl.items() if k != "total_tflop"},
         "first_step_s": round(compile_s, 1),
         "final_loss": round(float(loss), 3),
     }))
