@@ -707,7 +707,13 @@ def gate_llava(args) -> dict:
                       num_layers=rc.num_hidden_layers,
                       num_heads=rc.num_attention_heads,
                       num_kv_heads=rc.num_key_value_heads,
-                      max_position_embeddings=rc.max_position_embeddings),
+                      max_position_embeddings=rc.max_position_embeddings,
+                      # eps/theta MUST come from the checkpoint: with a
+                      # 1e-5-vs-1e-6 eps mismatch the tiny-scale hidden
+                      # states (mean square ~1e-4) renormalize ~2% off and
+                      # the 2-layer logits land ~0.07 apart
+                      rms_norm_eps=rc.rms_norm_eps,
+                      rope_theta=getattr(rc, "rope_theta", 10000.0)),
         projector=ProjectorConfig(projector_type=rc.mm_projector_type,
                                   input_dim=rc.mm_hidden_size,
                                   output_dim=rc.hidden_size),
