@@ -50,6 +50,14 @@ class GenerationConfig:
     # already keeps the dispatch short, and chunking it would discard the
     # accepted-draft bookkeeping. generate() warns once on the combination.
     preemptible_chunk: int = 0
+    # preemptible PREFILL (greedy path, with preemptible_chunk > 0): also
+    # split the prompt forward into sequence chunks of this many tokens run
+    # against the growing KV cache (the decode_multi path — causal with
+    # q_offset, numerically identical to one-shot prefill), with the same
+    # host sync between dispatches. Without it a ~3k-token memory prefill is
+    # one 100-300 ms dispatch that blows ~1-2 clip deadlines per answer even
+    # when decode is chunked. 0 = whole-prompt prefill.
+    prefill_chunk: int = 0
 
 
 _SPEC_PREEMPT_WARNED = False
@@ -291,7 +299,24 @@ class Generator:
             i, _, cache, out, _, _, _ = jax.lax.while_loop(cond, body, state)
             return out, jnp.minimum(i, max_new + k), cache
 
+        def prefill_seq_chunk(params, embeds, positions, cache, last_rel,
+                              segment_ids=None):
+            """One prompt chunk against the existing cache prefix
+            (decode_multi: intra-chunk causal + full attention to the
+            prefix via q_offset=cache_len — same math as one-shot prefill).
+            Returns logits at chunk-relative last_rel (callers ignore them
+            for all but the chunk holding the last real token)."""
+            h, cache = decoder_forward(params, cfg, embeds, positions,
+                                       segment_ids=segment_ids, cache=cache,
+                                       decode_multi=True)
+            idx = jnp.broadcast_to(jnp.asarray(last_rel).reshape(-1, 1, 1),
+                                   (h.shape[0], 1, h.shape[2]))
+            h_last = jnp.take_along_axis(h, idx, axis=1)
+            return lm_head(params, cfg, h_last)[:, -1], cache
+
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        self._prefill_seq_chunk = jax.jit(prefill_seq_chunk,
+                                          donate_argnums=(3,))
         self._step = jax.jit(step, donate_argnums=(3,))
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(3,),
                                     static_argnums=(4,))
@@ -388,8 +413,29 @@ class Generator:
             chunk_pad = (c - gen.max_new_tokens % c) % c
         cache = self.new_cache(
             B, self._active_len(S, gen.max_new_tokens + spec_pad + chunk_pad))
-        logits, cache = self._prefill(self.params, embeds, positions, cache,
-                                      segment_ids, last_real_idx)
+        if (gen.preemptible_chunk > 0 and gen.prefill_chunk > 0
+                and not spec_pad):
+            # preemptible prefill: sequence chunks through the decode_multi
+            # path (exact — causal vs the cached prefix), one host sync per
+            # chunk so concurrently queued ingest clips run between them
+            c = gen.prefill_chunk
+            last = (int(np.asarray(last_real_idx).ravel()[0])
+                    if last_real_idx is not None else S - 1)
+            logits = None
+            for a in range(0, S, c):
+                b_ = min(a + c, S)
+                rel = last - a if a <= last < b_ else 0
+                seg = (segment_ids[:, a:b_]
+                       if segment_ids is not None else None)
+                lg, cache = self._prefill_seq_chunk(
+                    self.params, embeds[:, a:b_], positions[..., a:b_],
+                    cache, jnp.int32(rel), seg)
+                if a <= last < b_:
+                    logits = lg
+                lg.block_until_ready()       # host sync (preemption point)
+        else:
+            logits, cache = self._prefill(self.params, embeds, positions,
+                                          cache, segment_ids, last_real_idx)
         if decode_pos_start is None:
             decode_pos_start = S
 

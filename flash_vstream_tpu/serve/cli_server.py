@@ -183,7 +183,8 @@ def run_server(args) -> dict:
             session, args,
             GenerationConfig(max_new_tokens=args.max_new_tokens,
                              eos_token_ids=(session.tokenizer.eos_token_id,),
-                             preemptible_chunk=args.preempt),
+                             preemptible_chunk=args.preempt,
+                             prefill_chunk=args.prefill_chunk),
             logger)
 
     if args.video_file:
@@ -205,7 +206,8 @@ def run_server(args) -> dict:
     metrics = session.metrics
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            eos_token_ids=(session.tokenizer.eos_token_id,),
-                           preemptible_chunk=args.preempt)
+                           preemptible_chunk=args.preempt,
+                           prefill_chunk=args.prefill_chunk)
 
     def do_answer(q: str) -> str:
         """Full answer, or incremental printing with --stream-output (the
@@ -357,6 +359,11 @@ def make_parser():
     p.add_argument("--stream-output", action="store_true",
                    help="print answer tokens incrementally as they decode "
                         "(TextStreamer UX, cli_video_stream.py:292-309)")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="with --preempt: also run the prompt prefill in "
+                        "sequence chunks of this many tokens (exact; one "
+                        "host sync per chunk) so clips preempt mid-prefill "
+                        "too. 0 = one-dispatch prefill")
     p.add_argument("--preempt", type=int, default=0,
                    help="decode chunk size for preemptible answers: queued "
                         "ingest clips run between answer chunks instead of "

@@ -33,6 +33,19 @@ def main():
     ap.add_argument("--clip", type=int, default=8)
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--decode", type=int, default=16)
+    ap.add_argument("--control", action="store_true",
+                    help="run a paired ingest-only control pass first and "
+                         "report answer-attributable misses (total minus "
+                         "ambient shared-chip jitter)")
+    ap.add_argument("--qa-interval", type=float, default=-1.0,
+                    help="seconds between answers (-1 = scenario default; "
+                         "0 = NO answers: ingest-only control run that "
+                         "measures ambient tunnel/shared-chip deadline "
+                         "jitter — subtract from the with-answers number)")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="with --preempt: chunk the prompt prefill too "
+                         "(sequence chunks; exact) so clips preempt "
+                         "mid-prefill")
     ap.add_argument("--preempt", type=int, default=0,
                     help="decode chunk size for preemptible answers: ingest "
                          "clips queued mid-answer run between chunks "
@@ -91,12 +104,15 @@ def main():
 
     n_frames = 1200 if args.scenario == "long" else 640
     qa_interval = 5.0 if args.scenario == "long" else 2.0
+    if args.qa_interval >= 0:
+        qa_interval = args.qa_interval
     sess = QwenStreamSession(params, cfg, make_byte_qwen_tokenizer(),
                              frame_hw=(args.side, args.side),
                              clip_size=args.clip, bank_size=512,
                              max_len=8192)
     gen = GenerationConfig(max_new_tokens=args.decode, eos_token_ids=(),
-                           preemptible_chunk=args.preempt)
+                           preemptible_chunk=args.preempt,
+                           prefill_chunk=args.prefill_chunk)
     q = "What is happening right now?"
 
     # prewarm: compile ingest + every answer bucket before the clock starts
@@ -121,33 +137,54 @@ def main():
 
     frames = [rng.integers(0, 255, (args.side, args.side, 3), np.uint8)
               for _ in range(n_frames)]
-    answers = []
-    start = time.perf_counter()
-    ing = ThreadedIngestor(sess, frames, fps=args.fps,
-                           clip_size=args.clip).start()
-    next_q = qa_interval
-    while not ing.wait(timeout=0.05):
-        el = time.perf_counter() - start
-        if sess.n_frames and el >= next_q:
-            next_q += qa_interval
-            t0 = time.perf_counter()
-            sess.answer(q, gen)
-            answers.append(time.perf_counter() - t0)
-    ing.stop()
-    wall = time.perf_counter() - start
+
+    def run_phase(interval):
+        """One paced stream; answers every `interval` s (0 = none)."""
+        answers = []
+        start = time.perf_counter()
+        ing = ThreadedIngestor(sess, frames, fps=args.fps,
+                               clip_size=args.clip).start()
+        next_q = interval
+        while not ing.wait(timeout=0.05):
+            el = time.perf_counter() - start
+            if interval > 0 and sess.n_frames and el >= next_q:
+                next_q += interval
+                t0 = time.perf_counter()
+                sess.answer(q, gen)
+                answers.append(time.perf_counter() - t0)
+        ing.stop()
+        wall = time.perf_counter() - start
+        missed = ing.missed_deadlines
+        sess.reset()
+        return wall, missed, answers
+
+    # paired control: an ingest-only pass right before the measured pass.
+    # The chip and tunnel are SHARED here — ambient stalls alone miss tens
+    # of deadlines on a bad day — so the publishable number is the DELTA
+    # attributable to answers, not the raw count.
+    control_missed = None
+    if args.control:
+        _, control_missed, _ = run_phase(0.0)
+    wall, missed, answers = run_phase(qa_interval)
 
     arr = sorted(answers)
-    print(json.dumps({
+    out = {
         "metric": f"serve_scenario_{args.scenario}_{args.arch}",
         "frames": n_frames, "fps_target": args.fps, "clip": args.clip,
         "preempt": args.preempt,
+        "qa_interval": qa_interval,
+        "prefill_chunk": args.prefill_chunk,
         "wall_s": round(wall, 1),
-        "missed_clip_deadlines": ing.missed_deadlines,
+        "missed_clip_deadlines": missed,
         "n_answers": len(answers),
         "answer_avg_s": round(float(np.mean(arr)), 3) if arr else None,
         "answer_max_s": round(float(np.max(arr)), 3) if arr else None,
         "deadline_method": "device-synced (per-clip host scalar fetch)",
-    }))
+    }
+    if control_missed is not None:
+        out["control_missed_no_answers"] = control_missed
+        out["answer_attributable_misses"] = max(0, missed - control_missed)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -182,3 +182,36 @@ def test_preemptible_eos_mid_chunk(rng):
     chunked = g.generate(embeds, pos, GenerationConfig(
         max_new_tokens=8, eos_token_ids=(eos,), preemptible_chunk=2))
     assert chunked == fused
+
+
+def test_preemptible_prefill_chunks_match_fused(rng):
+    """Chunked PREFILL (prefill_chunk with preemptible_chunk: sequence
+    chunks through the decode_multi path against the growing cache) emits
+    exactly the fused prefill's tokens — dividing and non-dividing chunk
+    sizes, right-padded prompts, and the int8 KV cache."""
+    import dataclasses
+
+    from flash_vstream_tpu.models.llm import embed_tokens, init_llm_params
+
+    # head_dim = 8 -> mrope sections sum to 4
+    cfg = dataclasses.replace(CFG, mrope_sections=(1, 1, 2), rope_theta=1e6)
+    params = init_llm_params(jax.random.PRNGKey(3), cfg)
+    S, real = 24, 19
+    ids = jnp.asarray(rng.integers(1, CFG.vocab_size - 1, (1, S)))
+    embeds = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(S)[None, None], (3, 1, S))
+    seg = jnp.where(jnp.arange(S)[None] < real, 0, -1)
+    last = jnp.asarray([real - 1])
+    for cache_dtype in (jnp.float32, jnp.int8):
+        g = Generator(params, cfg, max_len=64, cache_dtype=cache_dtype)
+        fused = g.generate(embeds, pos,
+                           GenerationConfig(max_new_tokens=6,
+                                            eos_token_ids=(),
+                                            preemptible_chunk=2),
+                           segment_ids=seg, last_real_idx=last)
+        for chunk in (5, 8, 24, 32):
+            chunked = g.generate(embeds, pos, GenerationConfig(
+                max_new_tokens=6, eos_token_ids=(), preemptible_chunk=2,
+                prefill_chunk=chunk),
+                segment_ids=seg, last_real_idx=last)
+            assert chunked == fused, (cache_dtype, chunk, chunked, fused)
