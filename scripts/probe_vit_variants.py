@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--modes", type=str,
                     default="combqkv,fusedqkv,base,xlaattn,onecall")
     ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument("--head-block", type=int, default=8,
+                    help="frame-kernel heads per program (framekernel mode)")
+    ap.add_argument("--int8-weight-only", action="store_true",
+                    help="int8 weights WITHOUT w8a8 (bf16 MXU, int8 HBM "
+                         "reads): isolates the activation-quantization + "
+                         "int8-MXU delta from the weight-read delta")
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize the blocks to int8 + enable w8a8 "
+                         "(int8xint8 MXU) — re-runs the variant sweep under "
+                         "the int8 rates (VERDICT r4 next #6)")
     ap.add_argument("--single-layer", action="store_true",
                     help="time ONE block body chained over 32*iters scan "
                          "steps instead of the full 32-layer stack: the "
@@ -80,6 +90,12 @@ def main():
     pd = 3 * 2 * 14 * 14
 
     params = init_qwen_vit_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if args.int8 or args.int8_weight_only:
+        from flash_vstream_tpu.weights.quantize import (enable_w8a8_prefill,
+                                                        quantize_params)
+        params = quantize_params(params)
+        if args.int8:
+            enable_w8a8_prefill()
     rng = np.random.default_rng(0)
     n_bank = 4
     patches = jnp.asarray(rng.normal(size=(n_bank, St, pd)).astype(
@@ -98,7 +114,16 @@ def main():
 
     def qkv_fused(lp, hf):
         wq, wk, wv = lp["attn"]["wq"], lp["attn"]["wk"], lp["attn"]["wv"]
-        w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1)
+        if hasattr(wq["w"], "q"):
+            # int8: concat the quantized columns + their per-channel scales
+            # — ONE activation-quantization pass feeds all three projections
+            from flash_vstream_tpu.weights.quantize import QuantWeight
+            w = QuantWeight(
+                jnp.concatenate([wq["w"].q, wk["w"].q, wv["w"].q], axis=1),
+                jnp.concatenate([wq["w"].scale, wk["w"].scale,
+                                 wv["w"].scale], axis=-1))
+        else:
+            w = jnp.concatenate([wq["w"], wk["w"], wv["w"]], axis=1)
         b = (jnp.concatenate([wq["b"], wk["b"], wv["b"]])
              if "b" in wq else None)
         qkv = dense(hf, w, b)
@@ -179,6 +204,62 @@ def main():
                 attn = jnp.concatenate([of, os_])
                 attn = dense(attn, lp["attn"]["wo"]["w"],
                              lp["attn"]["wo"].get("b"))
+            elif mode == "framekernel":
+                # Pallas frame-local attention: one (frame, head-block)
+                # program computes qk^T/softmax/pv entirely in VMEM — the
+                # [S, S] f32 scores never round-trip HBM (the XLA path's
+                # extra ~34 MB/layer of score traffic)
+                from functools import partial as _part
+                from jax.experimental import pallas as _pl
+
+                def frame_attn(q, k, v):
+                    Bq, Hq, Sq, Dh = q.shape
+                    hb = min(args.head_block, Hq)
+                    sc = 1.0 / (Dh ** 0.5)
+
+                    def kern(q_ref, k_ref, v_ref, o_ref):
+                        qq = q_ref[0]
+                        kk = k_ref[0]
+                        vv = v_ref[0]
+                        ss = jax.lax.dot_general(
+                            qq, kk, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * sc
+                        mm = jnp.max(ss, axis=-1, keepdims=True)
+                        pp = jnp.exp(ss - mm)
+                        ll = jnp.sum(pp, axis=-1, keepdims=True)
+                        pp = (pp / ll).astype(qq.dtype)
+                        oo = jax.lax.dot_general(
+                            pp, vv, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                        o_ref[0] = oo.astype(o_ref.dtype)
+
+                    spec = _pl.BlockSpec((1, hb, Sq, Dh),
+                                         lambda b, h: (b, h, 0, 0))
+                    return _pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+                        grid=(Bq, Hq // hb),
+                        in_specs=[spec, spec, spec],
+                        out_specs=spec,
+                    )(q, k, v)
+
+                a_full = attn_stream(
+                    lp, h[:S].reshape(t, P_full, D), rope_f, frame_attn,
+                    False)
+                a_small = attn_stream(
+                    lp, h[S:].reshape(t, P_small, D), rope_s, frame_attn,
+                    False)
+                attn = jnp.concatenate([a_full, a_small])
+            elif mode == "noattn":
+                # projections run, attention itself replaced by identity on
+                # v: isolates the attention cost (matmul+quant unchanged)
+                a_full = attn_stream(
+                    lp, h[:S].reshape(t, P_full, D), rope_f,
+                    lambda q, k, v: v, False)
+                a_small = attn_stream(
+                    lp, h[S:].reshape(t, P_small, D), rope_s,
+                    lambda q, k, v: v, False)
+                attn = jnp.concatenate([a_full, a_small])
             else:
                 fused = mode in ("fusedqkv", "xlaattn")
                 attn_fn = xla_attention if mode == "xlaattn" else \
@@ -253,7 +334,9 @@ def main():
             float(jloop(params, patches))
             dts.append(time.perf_counter() - t0)
         dt = min(dts) / args.iters
-        print(f"{mode:10s} {dt * 1e3:7.2f} ms/clip "
+        tag8 = (" int8" if args.int8
+                else (" int8-wo" if args.int8_weight_only else ""))
+        print(f"{mode:10s}{tag8} {dt * 1e3:7.2f} ms/clip "
               f"{vit_flops / dt / 1e12:6.1f} TF/s", file=sys.stderr,
               flush=True)
         return dt
