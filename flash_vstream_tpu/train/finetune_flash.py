@@ -335,12 +335,14 @@ def run_training(args) -> dict:
             embeds = embed_tokens(eff["llm"], ids[None])
             embeds = splice_embeds_dynamic(embeds, vis.video_embeds,
                                            vis_start)
-            # group 4 + mlp chunk 1024: the peak-minimizing remat settings
-            # from the AOT memory_analysis sweep at production shapes
+            # remat group 4 from the AOT memory_analysis sweep at production
+            # shapes. MLP seq-chunking is OFF: at group 4 it no longer
+            # lowers the peak (13.39 GiB unchunked == 13.41 chunked, AOT
+            # @240f/448px/14k) while the serialized chunks re-dequantize the
+            # int4 MLP weights per chunk — measured 1.78x slower
+            # (13.4 -> 7.6 s/step at the seq-8k probe shape, r5)
             h, _ = decoder_forward(eff["llm"], cfg.llm, embeds, positions,
                                    segment_ids=seg[None], remat=True,
-                                   mlp_seq_chunk=1024 if max_len >= 8192
-                                   else 0,
                                    remat_group=4 if max_len >= 8192 else 1)
             if max_len * cfg.llm.vocab_size > 1 << 26:
                 # production shapes (14k x 152k vocab): full f32 logits are

@@ -37,9 +37,15 @@ def _vit_matmul_params(vit) -> float:
 
 def train_step_model_flops(cfg, n_frames: int, seq: int, px: int,
                            n_vis: int) -> dict:
-    """Analytic MODEL FLOPs of one fwd+bwd microbatch (standard MFU
-    convention: 6 * matmul_params * tokens + attention terms; remat
-    recompute NOT counted — it inflates hardware FLOPs, not model FLOPs).
+    """Analytic MODEL FLOPs of one fwd+bwd LoRA microbatch.
+
+    LoRA convention — 4 * frozen_matmul_params * tokens (2 fwd + 2
+    input-grad bwd; the dW matmuls are SKIPPED for the frozen base, XLA
+    dead-code-eliminates them) + 3x-forward attention (dQ/dK/dV are input
+    grads, always needed) + negligible adapter terms. The naive 6N
+    full-finetune convention overstates a LoRA step's model FLOPs by 1.5x.
+    Remat recompute NOT counted — it inflates hardware FLOPs, not model
+    FLOPs.
 
     The reference runs this same shape on 8xA100 via torch+deepspeed
     (Qwen/scripts/train_and_eval.sh); MFU here = model_flops / time /
@@ -49,13 +55,13 @@ def train_step_model_flops(cfg, n_frames: int, seq: int, px: int,
     full_tokens = t * g * g
     small_tokens = full_tokens // 4
     vit_tokens = full_tokens + small_tokens
-    vit_mm = 6 * vit_tokens * _vit_matmul_params(cfg.vit)
+    vit_mm = 4 * vit_tokens * _vit_matmul_params(cfg.vit)
     # per-frame block-diagonal attention (full res frames: g*g tokens;
     # pooled: g*g/4), fwd+bwd = 3 * fwd, fwd = 4 * S_f^2 * h per layer
     h_v = cfg.vit.hidden_size
     vit_attn = 3.0 * cfg.vit.num_layers * 4 * h_v * (
         t * (g * g) ** 2 + t * (g * g // 4) ** 2)
-    dec_mm = 6 * seq * _llm_matmul_params(cfg.llm)
+    dec_mm = 4 * seq * _llm_matmul_params(cfg.llm)
     # causal attention: fwd = 4 * S^2 * h / 2
     dec_attn = 3.0 * cfg.llm.num_layers * 2 * seq * seq * cfg.llm.hidden_size
     total = vit_mm + vit_attn + dec_mm + dec_attn
@@ -91,7 +97,10 @@ def main():
                          "bigger backward working set")
     ap.add_argument("--ce-chunk", type=int, default=512)
     ap.add_argument("--mlp-chunk", type=int, default=0,
-                    help="0 = auto (2048 for long seqs)")
+                    help="MLP seq-chunk (0 = OFF, the fast default: at "
+                         "remat-group 4 chunking no longer lowers the AOT "
+                         "peak but re-dequantizes the int4 MLP weights per "
+                         "chunk — measured 1.78x slower at 7B)")
     ap.add_argument("--memory-analysis", action="store_true",
                     help="AOT-compile the step and print the XLA HBM "
                          "breakdown (args/temps/peak) WITHOUT executing — "
@@ -232,12 +241,12 @@ def main():
         positions, _ = build_qwen_positions(S, start, n_vis,
                                             vis.visual_positions)
         long_seq = S >= 8192
-        # defaults found by AOT memory_analysis sweep at 240f/448px/12k:
-        # group 4 + mlp chunk 1024 minimize peak (15.65 GiB vs 17.5 at the
-        # old group 7 / chunk 2048 / f32-adapter / bf16-head settings)
+        # remat group 4 from the AOT memory_analysis sweep; MLP chunking
+        # off by default (same 13.4 GiB peak at group 4, and chunking
+        # re-dequantized the int4 MLP weights per chunk: 1.78x slower, r5)
         h, _ = decoder_forward(
             eff["llm"], cfg.llm, embeds, positions, remat=True,
-            mlp_seq_chunk=args.mlp_chunk or (1024 if long_seq else 0),
+            mlp_seq_chunk=args.mlp_chunk,
             remat_group=args.remat_group or (4 if long_seq else 1))
         if S * cfg.llm.vocab_size > 1 << 26:
             from flash_vstream_tpu.models.llm import (
@@ -321,6 +330,8 @@ def main():
         "model_tflop_per_step": round(step_tflop, 1),
         "achieved_tflops": round(achieved, 1),
         "mfu_pct_v5e_bf16": round(100 * achieved / V5E_BF16_TFLOPS, 1),
+        "flop_convention": "lora-4N (dW skipped for frozen base) + 3x-fwd "
+                           "attention; remat recompute excluded",
         "flop_split_tflop": {k: round(v * args.accum, 1)
                              for k, v in fl.items() if k != "total_tflop"},
         "first_step_s": round(compile_s, 1),
