@@ -69,7 +69,7 @@ class StreamServer:
     """Registry of live streams over one shared model/session factory."""
 
     def __init__(self, session_factory, max_streams: int = 64,
-                 preempt_chunk: int = 0):
+                 preempt_chunk: int = 0, prefill_chunk: int = 0):
         self._factory = session_factory
         self._streams: Dict[str, _Stream] = {}
         self._lock = threading.Lock()
@@ -79,6 +79,9 @@ class StreamServer:
         # service (20-40 s, serialized across clients), so clients toggle
         # preemption but the server picks the size
         self.preempt_chunk = int(preempt_chunk)
+        # same server-picks-the-size policy for the preemptible PREFILL
+        # (generation.GenerationConfig.prefill_chunk)
+        self.prefill_chunk = int(prefill_chunk)
         self._template = None      # first session; later ones clone its jits
 
     def _new_session(self):
@@ -192,6 +195,8 @@ def make_handler(server: StreamServer):
             # through the shared remote compile service)
             if kw.get("preemptible_chunk"):
                 kw["preemptible_chunk"] = server.preempt_chunk
+                if server.prefill_chunk:
+                    kw["prefill_chunk"] = server.prefill_chunk
             if "eos_token_ids" in kw:
                 if not isinstance(kw["eos_token_ids"], list) or not all(
                         isinstance(t, int) for t in kw["eos_token_ids"]):
@@ -304,11 +309,13 @@ def make_handler(server: StreamServer):
 
 def serve_http(session_factory, host: str = "127.0.0.1", port: int = 8080,
                max_streams: int = 64,
-               preempt_chunk: int = 0) -> ThreadingHTTPServer:
+               preempt_chunk: int = 0,
+               prefill_chunk: int = 0) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever() or run it in
     a thread and .shutdown() to stop — the test harness does the latter)."""
     registry = StreamServer(session_factory, max_streams=max_streams,
-                            preempt_chunk=preempt_chunk)
+                            preempt_chunk=preempt_chunk,
+                            prefill_chunk=prefill_chunk)
     httpd = ThreadingHTTPServer((host, port), make_handler(registry))
     httpd.registry = registry
     return httpd
@@ -320,10 +327,13 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-streams", type=int, default=64)
+    # --preempt / --prefill-chunk come from cli_server.make_parser; both are
+    # applied server-side (clients only toggle preemption)
     args = p.parse_args(argv)
     httpd = serve_http(lambda: build_session(args), host=args.host,
                        port=args.port, max_streams=args.max_streams,
-                       preempt_chunk=args.preempt)
+                       preempt_chunk=args.preempt,
+                       prefill_chunk=args.prefill_chunk)
     if args.prewarm:
         # compile every answer bucket on the TEMPLATE session before
         # accepting traffic; all later streams clone its compiled jits, so
