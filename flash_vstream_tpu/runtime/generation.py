@@ -8,7 +8,7 @@ host loop. Deterministic decode matches the reference eval settings
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -140,7 +140,7 @@ def run_training(args) -> dict:
     from ..core.config import (FlashMemoryConfig, VStreamQwenConfig,
                                tiny_qwen_config)
     from ..models.llm import cross_entropy_loss
-    from ..models.vstream_qwen import init_qwen_params, qwen_forward_train
+    from ..models.vstream_qwen import init_qwen_params
     from ..parallel.sharding import create_mesh
     from ..preprocess.image import qwen_preprocess
     from ..preprocess.qwen_processor import make_byte_qwen_tokenizer

@@ -209,7 +209,6 @@ def main():
                 # program computes qk^T/softmax/pv entirely in VMEM — the
                 # [S, S] f32 scores never round-trip HBM (the XLA path's
                 # extra ~34 MB/layer of score traffic)
-                from functools import partial as _part
                 from jax.experimental import pallas as _pl
 
                 def frame_attn(q, k, v):

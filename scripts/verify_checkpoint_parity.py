@@ -677,9 +677,9 @@ def gate_llava(args) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from flash_vstream_tpu.core.config import (IGNORE_INDEX,
-                                               IMAGE_TOKEN_INDEX, LLMConfig,
-                                               ProjectorConfig, STARConfig,
+    from flash_vstream_tpu.core.config import (IMAGE_TOKEN_INDEX,
+                                               LLMConfig, ProjectorConfig,
+                                               STARConfig,
                                                VStreamLLaVAConfig, VitConfig)
     from flash_vstream_tpu.models.llm import (decoder_forward, lm_head)
     from flash_vstream_tpu.models.vstream_llava import (
