@@ -105,6 +105,11 @@ def main():
                     help="AOT-compile the step and print the XLA HBM "
                          "breakdown (args/temps/peak) WITHOUT executing — "
                          "the way to fit a 16 GB budget without OOM loops")
+    ap.add_argument("--offload-moments", action="store_true",
+                    help="rest Adam moments in pinned host memory between "
+                         "steps (zero*_offload parity): shrinks the "
+                         "device-resident argument footprint when the "
+                         "shared chip's ambient HBM ceiling is low")
     ap.add_argument("--base-bits", type=int, choices=[4, 8], default=4,
                     help="frozen-base precision for --arch 7b. 4 (default) "
                          "= packed int4, QLoRA parity with the reference's "
@@ -259,7 +264,8 @@ def main():
 
     tcfg = TrainConfig(learning_rate=8e-4, total_steps=100,
                        grad_accum=args.accum, warmup_ratio=0.0,
-                       mu_dtype="bfloat16" if args.arch == "7b" else None)
+                       mu_dtype="bfloat16" if args.arch == "7b" else None,
+                       offload_moments=args.offload_moments)
     trainer = Trainer(loss_fn, lora, tcfg, mesh=create_mesh(dp=1, tp=1),
                       frozen=params)
 
