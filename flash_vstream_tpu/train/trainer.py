@@ -313,6 +313,10 @@ class Trainer:
                 opt_state = jax.device_put(opt_state, self.opt_sharding)
                 return params, opt_state, loss
 
+            # expose the phases for AOT memory analysis (the grad phase is
+            # the activation-heavy peak; bench_train_step --memory-analysis)
+            stepper.grad_jit = grad_jit
+            stepper.update_jit = update_jit
             return stepper
 
         return jax.jit(

@@ -285,9 +285,15 @@ def main():
     if args.memory_analysis:
         key = jax.random.PRNGKey(0)
         with trainer.mesh:
-            lowered = trainer._train_step.lower(
-                trainer.params, trainer.opt_state, batch, key,
-                trainer.frozen)
+            fn = trainer._train_step
+            if hasattr(fn, "grad_jit"):
+                # --offload-moments runs a two-phase step (plain function);
+                # the grad phase is the activation-heavy HBM peak
+                lowered = fn.grad_jit.lower(trainer.params, batch, key,
+                                            trainer.frozen)
+            else:
+                lowered = fn.lower(trainer.params, trainer.opt_state, batch,
+                                   key, trainer.frozen)
             t0 = time.perf_counter()
             compiled = lowered.compile()
             m = compiled.memory_analysis()
